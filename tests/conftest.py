@@ -1,0 +1,55 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must set env vars before jax is imported anywhere (SURVEY.md §4: multi-chip
+tests run on a faked CPU mesh via xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_ring_cameras(n: int = 20, radius: float = 4.0, height: float = 1.0,
+                      img_wh=(64, 48), focal: float = 60.0):
+    """Synthetic cameras on a ring looking at the origin."""
+    c2ws = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        pos = np.array([radius * np.cos(ang), radius * np.sin(ang), height])
+        forward = -pos / np.linalg.norm(pos)       # toward origin
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, forward)
+        # OpenGL/nerfstudio: z is backward
+        rot = np.stack([right, true_up, -forward], axis=-1)
+        c2w = np.concatenate([rot, pos[:, None]], axis=-1)
+        c2ws.append(c2w)
+    c2w = np.stack(c2ws).astype(np.float32)
+    w, h = img_wh
+    n_cam = len(c2w)
+    intri = np.zeros((n_cam, 3, 3), np.float32)
+    intri[:, 0, 0] = focal
+    intri[:, 1, 1] = focal
+    intri[:, 0, 2] = w / 2
+    intri[:, 1, 2] = h / 2
+    intri[:, 2, 2] = 1
+    return c2w, intri
+
+
+@pytest.fixture
+def ring_cameras():
+    return make_ring_cameras()
