@@ -1,0 +1,152 @@
+"""Method registry + plugin discovery.
+
+Equivalent of ``nerfstudio/configs/method_configs.py`` (the method table) and
+``nerfstudio/plugins/registry.py:34-50`` (entry-point discovery — the
+mechanism through which the reference injects "gf-nerf" via
+``pyproject.toml:174-176``).  External packages can register methods under
+the entry-point group ``gfnerf_tpu.method_configs``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+from gfnerf_tpu.data.datamanager import GFNerfDataManagerConfig
+from gfnerf_tpu.engine.optimizers import OptimizersConfig
+from gfnerf_tpu.engine.trainer import TrainerConfig
+from gfnerf_tpu.models.gfnerf import GFNeRFModelConfig
+from gfnerf_tpu.pipelines.pipeline import GFNerfPipelineConfig
+from gfnerf_tpu.sampler.manager import PersSamplerManagerConfig
+
+
+@dataclasses.dataclass
+class MethodSpecification:
+    """Plugin registration type (nerfstudio/plugins/types.py)."""
+
+    config: TrainerConfig
+    description: str = ""
+
+
+def gf_nerf_config() -> TrainerConfig:
+    """The paper method, defaults from gfnerf/config.py:43-148."""
+    n_blocks = 10
+    n_split_dataset = 10
+    n_dataset_circles = 1
+    steps_init = 30000
+    steps_per_split = 10000
+    scale_factor = 10.0
+    return TrainerConfig(
+        method_name="gf-nerf",
+        steps_per_eval_batch=1000,
+        steps_per_save=2000,
+        max_num_iterations=steps_init
+        + n_dataset_circles * steps_per_split * n_split_dataset,
+        pipeline=GFNerfPipelineConfig(
+            datamanager=GFNerfDataManagerConfig(
+                n_split_dataset=n_split_dataset,
+                steps_per_split_dataset=steps_per_split,
+                steps_perssampler_init=steps_init,
+                train_num_rays_per_batch=2048 * 4,
+                eval_num_rays_per_batch=2048,
+                train_num_images_to_sample_from=500,
+                train_num_times_to_repeat_images=1000,
+                patch_size=1,
+            ),
+            model=GFNeRFModelConfig(
+                n_blocks=n_blocks,
+                n_split_dataset=n_split_dataset,
+                steps_per_split_dataset=steps_per_split,
+                steps_perssampler_init=steps_init,
+                scale_factor=scale_factor,
+                s3im_loss_mult=1.0,
+                s3im_kernel_size=4,
+                s3im_stride=4,
+                s3im_repeat_time=10,
+                s3im_patch_height=32,
+                use_ch_loss=True,
+                background_color="black",
+            ),
+            sampler=PersSamplerManagerConfig(),
+            optimizers=OptimizersConfig(
+                fields_lr_init=1e-2,
+                fields_lr_final=1e-4,
+                steps_perssampler_init=steps_init,
+                steps_per_split_dataset=steps_per_split,
+                n_split_dataset=n_split_dataset,
+                n_dataset_circles=n_dataset_circles,
+            ),
+            field_log2_hashmap_size=21,
+            field_num_levels=16,
+            field_hidden_dim=128,
+            field_hidden_dim_color=128,
+            eval_num_rays_per_chunk=2048,
+        ),
+    )
+
+
+def gf_nerf_tiny_config() -> TrainerConfig:
+    """Shrunk config for smoke tests / small scenes (SURVEY.md §4 pattern)."""
+    cfg = gf_nerf_config()
+    cfg.method_name = "gf-nerf-tiny"
+    cfg.max_num_iterations = 30
+    p = cfg.pipeline
+    p.datamanager.train_num_rays_per_batch = 256
+    p.datamanager.eval_num_rays_per_batch = 256
+    p.datamanager.n_split_dataset = 2
+    p.datamanager.steps_per_split_dataset = 10
+    p.datamanager.steps_perssampler_init = 10
+    p.model.n_blocks = 2
+    p.model.n_split_dataset = 2
+    p.model.steps_per_split_dataset = 10
+    p.model.steps_perssampler_init = 10
+    p.model.s3im_patch_height = 16
+    p.model.scale_factor = 1.0
+    p.sampler.bbox_levels = 4
+    p.sampler.max_level = 6
+    p.sampler.max_samples = 64
+    p.sampler.sample_l = 1.0 / 32
+    p.sampler.sub_div_milestones = (4, 8)
+    p.sampler.compact_freq = 10
+    p.sampler.node_capacity = 16384
+    p.sampler.n_rand_pts = 512
+    p.sampler.vis_res_w = 32
+    p.field_log2_hashmap_size = 12
+    p.eval_num_rays_per_chunk = 512
+    p.optimizers.steps_perssampler_init = 10
+    p.optimizers.steps_per_split_dataset = 10
+    p.optimizers.n_split_dataset = 2
+    cfg.steps_per_eval_batch = 10
+    cfg.steps_per_eval_image = 10 ** 9
+    cfg.steps_per_save = 10 ** 9
+    return cfg
+
+
+method_configs: Dict[str, Callable[[], TrainerConfig]] = {
+    "gf-nerf": gf_nerf_config,
+    "gf-nerf-tiny": gf_nerf_tiny_config,
+}
+
+descriptions = {
+    "gf-nerf": "Global-guided Focal NeRF (two-stage, TPU-native).",
+    "gf-nerf-tiny": "Shrunk gf-nerf for smoke tests.",
+}
+
+
+def discover_methods() -> Dict[str, Callable[[], TrainerConfig]]:
+    """Entry-point plugin discovery (plugins/registry.py:34-50)."""
+    methods = dict(method_configs)
+    try:
+        from importlib.metadata import entry_points
+
+        for ep in entry_points(group="gfnerf_tpu.method_configs"):
+            spec = ep.load()
+            if callable(spec) and not isinstance(spec, MethodSpecification):
+                spec = spec()
+            if isinstance(spec, MethodSpecification):
+                methods[spec.config.method_name] = (
+                    lambda s=spec: dataclasses.replace(s.config))
+                descriptions[spec.config.method_name] = spec.description
+    except Exception as e:
+        print(f"[plugins] discovery failed: {e}")
+    return methods

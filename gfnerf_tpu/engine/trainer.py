@@ -1,0 +1,219 @@
+"""Trainer: the outer loop, checkpoints, eval cadence, logging.
+
+Equivalent of ``nerfstudio/engine/trainer.py:90-479``: setup
+(pipeline -> optimizers -> checkpoint -> callbacks -> writer -> profiler),
+the train loop with before/after callbacks, periodic eval, checkpoint
+save/load with latest-only pruning (:375-379).  The NaN-guard step skip
+(:416-426) lives inside the jitted step (optax.apply_if_finite).
+
+Checkpoints: device state (params / opt state / step) via orbax; host-side
+octree + camera labels + milestones as npz (the reference serializes the
+same native state through state-dict hooks, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfnerf_tpu.pipelines.pipeline import GFNerfPipeline, GFNerfPipelineConfig
+from gfnerf_tpu.utils import profiler
+from gfnerf_tpu.utils.writer import (
+    ETA,
+    ITER_TRAIN_TIME,
+    TRAIN_RAYS_PER_SEC,
+    EventWriter,
+    TimeWriter,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    method_name: str = "gf-nerf"
+    experiment_name: Optional[str] = None
+    timestamp: str = "{timestamp}"
+    output_dir: Path = Path("outputs")
+    max_num_iterations: int = 130000
+    steps_per_eval_batch: int = 1000
+    steps_per_eval_image: int = 5000
+    steps_per_save: int = 2000
+    steps_per_log: int = 10
+    save_only_latest_checkpoint: bool = True
+    load_dir: Optional[Path] = None
+    load_step: Optional[int] = None
+    vis: str = "tensorboard"
+    data: Optional[Path] = None
+    mixed_precision: bool = False
+    pipeline: GFNerfPipelineConfig = dataclasses.field(
+        default_factory=GFNerfPipelineConfig)
+
+    def get_base_dir(self) -> Path:
+        exp = self.experiment_name or (Path(self.data).name if self.data
+                                       else "unnamed")
+        ts = self.timestamp
+        if ts == "{timestamp}":
+            ts = time.strftime("%Y-%m-%d_%H%M%S")
+            self.timestamp = ts
+        return Path(self.output_dir) / exp / self.method_name / ts
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, dataparser):
+        self.config = config
+        self.dataparser = dataparser
+        self._start_step = 0
+
+    def setup(self, test_mode: str = "train"):
+        cfg = self.config
+        self.base_dir = cfg.get_base_dir()
+        os.makedirs(self.base_dir, exist_ok=True)
+        self.checkpoint_dir = self.base_dir / "nerfstudio_models"
+
+        self.pipeline = GFNerfPipeline(cfg.pipeline, self.dataparser,
+                                       base_dir=self.base_dir,
+                                       test_mode=test_mode)
+        self.writer = EventWriter(cfg.vis, self.base_dir,
+                                  steps_per_log=cfg.steps_per_log)
+        from gfnerf_tpu.configs.config_io import config_to_yaml
+
+        (self.base_dir / "config.yml").write_text(config_to_yaml(cfg))
+        self.writer.put_config(config_to_yaml(cfg))
+
+        if cfg.load_dir is not None:
+            self._load_checkpoint()
+
+    # ---------------------------------------------------------------- loop ----
+
+    def train(self):
+        cfg = self.config
+        num_rays = cfg.pipeline.datamanager.train_num_rays_per_batch
+        t_start = time.perf_counter()
+        for step in range(self._start_step, cfg.max_num_iterations):
+            with TimeWriter(None, ITER_TRAIN_TIME, step) as t:
+                metrics = self.pipeline.get_train_loss_dict(step)
+                self.pipeline.after_train_iteration(step)
+            if step % cfg.steps_per_log == 0:
+                self.writer.put_scalar(ITER_TRAIN_TIME, t.duration, step)
+                self.writer.put_scalar(TRAIN_RAYS_PER_SEC,
+                                       num_rays / t.duration, step)
+                frac = (step + 1 - self._start_step) / max(
+                    cfg.max_num_iterations - self._start_step, 1)
+                elapsed = time.perf_counter() - t_start
+                self.writer.put_scalar(ETA, elapsed / frac - elapsed, step)
+                self.writer.put_dict(metrics, step)
+                self.writer.flush(step)
+            self.eval_iteration(step)
+            if (step + 1) % cfg.steps_per_save == 0:
+                self.save_checkpoint(step)
+        self.save_checkpoint(cfg.max_num_iterations - 1)
+
+    def eval_iteration(self, step: int):
+        cfg = self.config
+        if (step + 1) % cfg.steps_per_eval_image == 0:
+            metrics, images = (
+                self.pipeline.get_eval_image_metrics_and_images(step))
+            self.writer.put_dict(
+                {f"Eval Images/{k}": v for k, v in metrics.items()}, step)
+            for name, img in images.items():
+                self.writer.put_image(f"Eval Images/{name}", img, step)
+
+    # ---------------------------------------------------------- checkpoint ----
+
+    def save_checkpoint(self, step: int):
+        """trainer.py:351-379: step-{:09d} dirs, pruned to latest."""
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = self.checkpoint_dir / f"step-{step:09d}"
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        p = self.pipeline
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            (ckpt_dir / "state").absolute(),
+            {"params": p.state.params, "opt_state": p.state.opt_state,
+             "step": p.state.step, "statics": p.statics},
+        )
+        t = p.sampler.tree
+        np.savez(
+            ckpt_dir / "octree.npz",
+            centers=t.centers, side_lens=t.side_lens, parents=t.parents,
+            childs=t.childs, is_leaf=t.is_leaf, trans_idx=np.asarray(
+                p.sampler.oct_dev.trans_idx[:t.n_nodes]),
+            block_idx=t.block_idx,
+            weight_stats=np.asarray(p.sampler.oct_dev.weight_stats[:t.n_nodes]),
+            alpha_stats=np.asarray(p.sampler.oct_dev.alpha_stats[:t.n_nodes]),
+            visit_cnt=np.asarray(p.sampler.oct_dev.visit_cnt[:t.n_nodes]),
+            w2xz=t.w2xz, weight=t.weight, t_center=t.t_center,
+            t_dis_summary=t.t_dis_summary, t_side_len=t.t_side_len,
+            milestones=np.asarray(p.sampler.milestones, np.int64),
+            cameras_labels=(p.sampler.cameras_labels
+                            if p.sampler.cameras_labels is not None
+                            else np.array([])),
+            step=step,
+        )
+        meta = {"step": step,
+                "sample_tmp_dir": p.sample_tmp_dir or ""}
+        (ckpt_dir / "meta.json").write_text(json.dumps(meta))
+        if self.config.save_only_latest_checkpoint:
+            for other in sorted(self.checkpoint_dir.glob("step-*")):
+                if other != ckpt_dir:
+                    shutil.rmtree(other)
+
+    def _load_checkpoint(self):
+        import orbax.checkpoint as ocp
+
+        load_dir = Path(self.config.load_dir)
+        if self.config.load_step is not None:
+            ckpt_dir = load_dir / f"step-{self.config.load_step:09d}"
+        else:
+            ckpt_dir = sorted(load_dir.glob("step-*"))[-1]
+        p = self.pipeline
+        ckptr = ocp.PyTreeCheckpointer()
+        target = {"params": p.state.params, "opt_state": p.state.opt_state,
+                  "step": p.state.step, "statics": p.statics}
+        restored = ckptr.restore((ckpt_dir / "state").absolute(), item=target)
+        from gfnerf_tpu.models.gfnerf import TrainState
+
+        p.state = TrainState(params=restored["params"],
+                             opt_state=restored["opt_state"],
+                             step=restored["step"])
+        p.statics = restored["statics"]
+
+        data = np.load(ckpt_dir / "octree.npz", allow_pickle=True)
+        import dataclasses as dc
+
+        from gfnerf_tpu.sampler.perssampler import octree_to_device
+
+        t = p.sampler.tree
+        p.sampler.tree = dc.replace(
+            t,
+            centers=data["centers"], side_lens=data["side_lens"],
+            parents=data["parents"], childs=data["childs"],
+            is_leaf=data["is_leaf"], trans_idx=data["trans_idx"],
+            block_idx=data["block_idx"],
+            weight_stats=data["weight_stats"].astype(np.int64),
+            alpha_stats=data["alpha_stats"].astype(np.int64),
+            visit_cnt=data["visit_cnt"].astype(np.int64),
+            w2xz=data["w2xz"], weight=data["weight"],
+            t_center=data["t_center"], t_dis_summary=data["t_dis_summary"],
+            t_side_len=data["t_side_len"],
+        )
+        while p.sampler.tree.n_nodes > p.sampler.capacity:
+            p.sampler.capacity *= 2
+        p.sampler.oct_dev = octree_to_device(p.sampler.tree,
+                                             p.sampler.capacity)
+        p.sampler.milestones = list(data["milestones"])
+        labels = data["cameras_labels"]
+        p.sampler.cameras_labels = labels if labels.size else None
+        meta = json.loads((ckpt_dir / "meta.json").read_text())
+        p.sample_tmp_dir = meta["sample_tmp_dir"] or None
+        self._start_step = int(meta["step"]) + 1
+        print(f"[trainer] resumed from {ckpt_dir} at step {self._start_step}")

@@ -47,24 +47,31 @@ STAGE_INIT = 0
 STAGE_BLOCK = 1
 
 
-@dataclass
-class FieldConfig:
-    """Static field hyper-parameters (reference gfnerf/config.py:119-127)."""
+import dataclasses as _dc
 
-    num_images: int = static_field(default=1)
-    geo_feat_dim: int = static_field(default=15)
-    hidden_dim: int = static_field(default=128)
-    num_layers: int = static_field(default=2)
-    hidden_dim_color: int = static_field(default=128)
-    num_layers_color: int = static_field(default=3)
-    appearance_embedding_dim: int = static_field(default=32)
-    use_appearance_embedding: bool = static_field(default=True)
-    log2_hashmap_size: int = static_field(default=21)
-    num_levels: int = static_field(default=N_LEVELS)
-    n_blocks: int = static_field(default=10)
-    n_volumes: int = static_field(default=1)
-    use_semantics: bool = static_field(default=False)
-    num_semantic_classes: int = static_field(default=2)
+
+@_dc.dataclass
+class FieldConfig:
+    """Static field hyper-parameters (reference gfnerf/config.py:119-127).
+
+    A plain (mutable) dataclass: it is closed over by the jitted step
+    functions, never traced.
+    """
+
+    num_images: int = 1
+    geo_feat_dim: int = 15
+    hidden_dim: int = 128
+    num_layers: int = 2
+    hidden_dim_color: int = 128
+    num_layers_color: int = 3
+    appearance_embedding_dim: int = 32
+    use_appearance_embedding: bool = True
+    log2_hashmap_size: int = 21
+    num_levels: int = N_LEVELS
+    n_blocks: int = 10
+    n_volumes: int = 1
+    use_semantics: bool = False
+    num_semantic_classes: int = 2
 
 
 @dataclass

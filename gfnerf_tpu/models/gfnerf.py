@@ -1,0 +1,245 @@
+"""GF-NeRF model: sampler + field + renderers + losses as one jitted step.
+
+TPU-native equivalent of ``GFNeRFModel`` (``gfnerf/nerfacto.py:200-747``).
+Where the reference composes torch modules called from a Python train loop,
+here the whole iteration — ray generation, octree march, field, compositing,
+losses, gradients, optimizer update and (init-stage) occupancy statistics —
+is one compiled XLA program per stage.  Host code supplies the step-dependent
+scalars (fineness, active block, rng key) as traced arguments.
+
+Reference behaviors carried over:
+- outputs rgb / accumulation / depth (expected, / scale_factor) / oct_depth
+  (first octree hit, nerfacto.py:555-563),
+- Charbonnier rgb loss + S3IM (nerfacto.py:628-679, config.py:97-102),
+- occupancy stats + march-fineness updates during the init stage only
+  (nerfacto.py:597-617),
+- per-ray |error| summed over RGB for the focal-stage error maps
+  (gf_pipeline.py:179-186).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gfnerf_tpu.cameras.cameras import Cameras, generate_rays_multi
+from gfnerf_tpu.cameras.rays import get_weights_f2nerf
+from gfnerf_tpu.engine.optimizers import mask_frozen_grads
+from gfnerf_tpu.fields.field import (
+    STAGE_BLOCK,
+    STAGE_INIT,
+    FieldConfig,
+    FieldParams,
+    FieldStatics,
+    field_density,
+    field_rgb,
+)
+from gfnerf_tpu.model_components.losses import charbonnier_loss, mse_loss, s3im_loss
+from gfnerf_tpu.model_components.renderers import (
+    render_accumulation,
+    render_expected_depth,
+    render_rgb,
+)
+from gfnerf_tpu.sampler.perssampler import (
+    OctreeDevice,
+    SamplerConfig,
+    get_samples,
+    update_oct_nodes,
+)
+from gfnerf_tpu.utils.structs import dataclass, static_field
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class GFNeRFModelConfig:
+    """Static model hyper-parameters (gfnerf/config.py:88-130).
+
+    Plain mutable dataclass: closed over by the jitted steps, never traced.
+    """
+
+    n_blocks: int = 10
+    n_split_dataset: int = 10
+    steps_per_split_dataset: int = 10000
+    steps_perssampler_init: int = 30000
+    scale_factor: float = 10.0
+    background_color: str = "black"
+    use_ch_loss: bool = True
+    s3im_loss_mult: float = 1.0
+    s3im_kernel_size: int = 4
+    s3im_stride: int = 4
+    s3im_repeat_time: int = 10
+    s3im_patch_height: int = 32
+    use_semantics: bool = False
+    semantic_loss_weight: float = 0.0
+
+
+@dataclass
+class TrainState:
+    params: FieldParams
+    opt_state: optax.OptState
+    step: jnp.ndarray  # () int32
+
+
+def model_forward(
+    params: FieldParams,
+    statics: FieldStatics,
+    field_cfg: FieldConfig,
+    model_cfg: GFNeRFModelConfig,
+    samples,                    # WarpedSamples
+    rays_d: jnp.ndarray,        # (R, 3)
+    rel_camera_indices: jnp.ndarray,  # (R,) int32
+    stage: int,
+    active_block,
+):
+    """Field + compositing for one ray batch (GFNeRFModel.get_outputs,
+    nerfacto.py:522-619)."""
+    density, geo = field_density(
+        params, statics, field_cfg, samples.warp_pts, samples.trans_idx,
+        stage, active_block,
+    )
+    dirs = jnp.broadcast_to(rays_d[:, None, :], samples.world_pts.shape)
+    rel = jnp.broadcast_to(rel_camera_indices[:, None], samples.trans_idx.shape)
+    heads = field_rgb(params, field_cfg, dirs, geo, rel, stage)
+
+    weights, alphas, trans = get_weights_f2nerf(samples.dists, density)
+    rgb = render_rgb(weights, heads["rgb"], model_cfg.background_color)
+    acc = render_accumulation(weights)
+    depth = render_expected_depth(weights, samples.ts) / model_cfg.scale_factor
+    oct_depth = samples.first_oct_dis[:, None] / model_cfg.scale_factor
+
+    out = {
+        "rgb": rgb, "accumulation": acc, "depth": depth,
+        "oct_depth": oct_depth, "weights": weights, "alphas": alphas,
+    }
+    if model_cfg.use_semantics and "semantics" in heads:
+        from gfnerf_tpu.model_components.renderers import render_weighted
+
+        out["semantics"] = render_weighted(weights, heads["semantics"])
+    return out
+
+
+def make_train_step(
+    field_cfg: FieldConfig,
+    model_cfg: GFNeRFModelConfig,
+    sampler_cfg: SamplerConfig,
+    tx: optax.GradientTransformation,
+    stage: int,
+):
+    """Build the jitted train step for one stage (init or block)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def train_step(
+        state: TrainState,
+        statics: FieldStatics,
+        oct_dev: OctreeDevice,
+        cameras: Cameras,            # full train cameras
+        batch: dict,                 # device arrays from the datamanager
+        fineness: jnp.ndarray,       # () f32 march fineness
+        active_block: jnp.ndarray,   # () i32
+        rng: jax.Array,
+    ):
+        rays = generate_rays_multi(cameras, batch["camera_indices"],
+                                   batch["coords"])
+        r = batch["coords"].shape[0]
+        k_noise, k_s3im = jax.random.split(rng)
+        noise = ((jax.random.uniform(k_noise, (r, sampler_cfg.max_samples))
+                  - 0.5) + 1.0) * fineness  # PersSampler_cuda GetSamples:385-389
+        samples = get_samples(oct_dev, rays["origins"], rays["directions"],
+                              noise, sampler_cfg)
+
+        target = batch["image"]
+
+        def loss_fn(params):
+            out = model_forward(
+                params, statics, field_cfg, model_cfg, samples,
+                rays["directions"], batch["rel_camera_indices"],
+                stage, active_block,
+            )
+            if model_cfg.use_ch_loss:
+                rgb_loss = charbonnier_loss(out["rgb"], target)
+            else:
+                rgb_loss = mse_loss(out["rgb"], target)
+            losses = {"rgb_loss": rgb_loss}
+            if model_cfg.s3im_loss_mult > 0:
+                losses["s3im_loss"] = model_cfg.s3im_loss_mult * s3im_loss(
+                    k_s3im, out["rgb"], target,
+                    kernel_size=model_cfg.s3im_kernel_size,
+                    stride=model_cfg.s3im_stride,
+                    repeat_time=model_cfg.s3im_repeat_time,
+                    patch_height=model_cfg.s3im_patch_height,
+                )
+            total = sum(losses.values())
+            return total, (losses, out)
+
+        (total, (losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = mask_frozen_grads(grads, stage)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+
+        if stage == STAGE_INIT:
+            # occupancy stats only during init (nerfacto.py:605-614)
+            oct_dev = update_oct_nodes(oct_dev, samples, out["weights"],
+                                       out["alphas"])
+
+        err = jnp.sum(jnp.abs(out["rgb"] - target), axis=-1)  # gf_pipeline:179
+        mse = jnp.mean((out["rgb"] - target) ** 2)
+        metrics = {
+            "loss": total,
+            **losses,
+            "psnr": -10.0 * jnp.log10(mse + 1e-12),
+            "num_samples_per_ray": jnp.mean(samples.num_valid.astype(jnp.float32)),
+        }
+        return new_state, oct_dev, metrics, err
+
+    return train_step
+
+
+def make_render_fn(
+    field_cfg: FieldConfig,
+    model_cfg: GFNeRFModelConfig,
+    sampler_cfg: SamplerConfig,
+):
+    """Jitted eval/render for a chunk of rays (eval noise == 1,
+    PersSampler_cuda.cu:381-383)."""
+
+    @jax.jit
+    def render_chunk(
+        params: FieldParams,
+        statics: FieldStatics,
+        oct_dev: OctreeDevice,
+        rays_o: jnp.ndarray,
+        rays_d: jnp.ndarray,
+        rel_camera_index: jnp.ndarray,  # () or (R,) appearance index
+        active_block: jnp.ndarray,
+        stage_is_block: jnp.ndarray,    # () bool — selects the residual path
+    ):
+        r = rays_o.shape[0]
+        noise = jnp.ones((r, sampler_cfg.max_samples))
+        samples = get_samples(oct_dev, rays_o, rays_d, noise, sampler_cfg)
+        rel = jnp.broadcast_to(jnp.asarray(rel_camera_index, jnp.int32), (r,))
+
+        out_init = model_forward(params, statics, field_cfg, model_cfg,
+                                 samples, rays_d, rel, STAGE_INIT, 0)
+        if field_cfg.n_blocks > 0:
+            out_block = model_forward(params, statics, field_cfg, model_cfg,
+                                      samples, rays_d, rel, STAGE_BLOCK,
+                                      active_block)
+            out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(stage_is_block, b, a),
+                out_init, out_block,
+            )
+        else:
+            out = out_init
+        return {k: out[k] for k in
+                ("rgb", "accumulation", "depth", "oct_depth")}
+
+    return render_chunk

@@ -1,0 +1,344 @@
+"""GF-NeRF pipeline: datamanager + sampler + model + optimizer state.
+
+Equivalent of ``GFNerfPipeline`` (``gfnerf/gf_pipeline.py:77-299``) plus the
+model-side training callbacks (``gfnerf/nerfacto.py:323-520``), expressed as
+explicit host-side stage logic around fully-jitted device steps:
+
+- ``get_train_loss_dict``: assemble the host batch, run the stage's compiled
+  train step, write live errors back into the focal error maps
+  (gf_pipeline.py:179-186), and run milestone octree rebuilds,
+- stage transition (init -> block, SURVEY.md §3.2): render per-view error
+  maps at 1/8 res (nerfacto.py:361-427), spectral-cluster the cameras
+  (nerfacto.py:354-359), assign octree blocks, switch the datamanager to the
+  per-cluster split dataset (base_datamanager.py:783-861),
+- eval: chunked full-image render with nearest-camera block/appearance
+  lookup (perssampler.py:369-376, nerfacto_field.py:526-533).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfnerf_tpu.cameras.cameras import get_image_coords
+from gfnerf_tpu.data.datamanager import GFNerfDataManager, GFNerfDataManagerConfig
+from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer
+from gfnerf_tpu.fields.field import (
+    STAGE_BLOCK,
+    STAGE_INIT,
+    FieldConfig,
+    init_field_params,
+)
+from gfnerf_tpu.models.gfnerf import (
+    GFNeRFModelConfig,
+    TrainState,
+    make_render_fn,
+    make_train_step,
+)
+from gfnerf_tpu.sampler.manager import PersSamplerManager, PersSamplerManagerConfig
+from gfnerf_tpu.utils import profiler
+
+
+@dataclasses.dataclass
+class GFNerfPipelineConfig:
+    datamanager: GFNerfDataManagerConfig = dataclasses.field(
+        default_factory=GFNerfDataManagerConfig)
+    model: GFNeRFModelConfig = dataclasses.field(
+        default_factory=GFNeRFModelConfig)
+    sampler: PersSamplerManagerConfig = dataclasses.field(
+        default_factory=PersSamplerManagerConfig)
+    optimizers: OptimizersConfig = dataclasses.field(
+        default_factory=OptimizersConfig)
+    field_log2_hashmap_size: int = 21
+    field_num_levels: int = 16
+    field_hidden_dim: int = 128
+    field_hidden_dim_color: int = 128
+    use_appearance_embedding: bool = True
+    eval_num_rays_per_chunk: int = 2048
+    camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
+    seed: int = 42
+
+
+class GFNerfPipeline:
+    def __init__(self, config: GFNerfPipelineConfig, dataparser,
+                 base_dir: Path, test_mode: str = "train"):
+        self.config = config
+        self.base_dir = Path(base_dir)
+        mcfg = config.model
+
+        self.datamanager = GFNerfDataManager(config.datamanager, dataparser,
+                                             seed=config.seed)
+        cams = self.datamanager.train_dataparser_outputs.cameras
+        n_cameras = len(cams)
+        bounds = np.tile(np.asarray(config.camera_bounds, np.float32),
+                         (n_cameras, 1))
+
+        # sampler (octree built from the train cameras)
+        self.sampler = PersSamplerManager(
+            c2w=cams.camera_to_worlds,
+            intri=cams.intrinsics_matrices(),
+            bounds=bounds,
+            config=config.sampler,
+            n_split_dataset=mcfg.n_split_dataset,
+            steps_per_split_dataset=mcfg.steps_per_split_dataset,
+            steps_perssampler_init=mcfg.steps_perssampler_init,
+        )
+
+        # block centers = every (n_cams/n_blocks)-th camera (nerfacto.py:232-241)
+        step_n = max(n_cameras // mcfg.n_blocks, 1)
+        self.block_centers = np.stack([
+            cams.camera_to_worlds[min(i * step_n, n_cameras - 1), :, 3]
+            for i in range(mcfg.n_blocks)
+        ])
+
+        self.field_cfg = FieldConfig(
+            num_images=n_cameras,
+            hidden_dim=config.field_hidden_dim,
+            hidden_dim_color=config.field_hidden_dim_color,
+            log2_hashmap_size=config.field_log2_hashmap_size,
+            num_levels=config.field_num_levels,
+            n_blocks=mcfg.n_blocks,
+            n_volumes=self.sampler.n_volumes,
+            use_appearance_embedding=config.use_appearance_embedding,
+            use_semantics=mcfg.use_semantics,
+        )
+        params, self.statics = init_field_params(self.field_cfg,
+                                                 seed=config.seed)
+        self.tx = build_optimizer(
+            dataclasses.replace(
+                config.optimizers,
+                steps_perssampler_init=mcfg.steps_perssampler_init,
+                steps_per_split_dataset=mcfg.steps_per_split_dataset,
+                n_split_dataset=mcfg.n_split_dataset,
+            ),
+            params,
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+        self.cameras_dev = cams.to_device()
+        scfg = self.sampler.sampler_config
+        self._train_step = {
+            STAGE_INIT: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
+                                        STAGE_INIT),
+            STAGE_BLOCK: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
+                                         STAGE_BLOCK),
+        }
+        self._render_chunk = make_render_fn(self.field_cfg, mcfg, scfg)
+        self._rng = jax.random.PRNGKey(config.seed)
+        self.sample_tmp_dir: Optional[str] = None
+
+    # --------------------------------------------------------------- train ----
+
+    def stage_of(self, step: int) -> int:
+        mcfg = self.config.model
+        init = (mcfg.steps_perssampler_init > 0
+                and step < mcfg.steps_perssampler_init)
+        return STAGE_INIT if init else STAGE_BLOCK
+
+    @profiler.time_function
+    def get_train_loss_dict(self, step: int) -> Dict[str, float]:
+        stage = self.stage_of(step)
+        batch = self.datamanager.next_train(step)
+        cache = batch.pop("_cache")
+        batch.pop("_outputs")
+        dev_batch = {
+            "camera_indices": jnp.asarray(batch["rel_camera_indices"]),
+            "rel_camera_indices": jnp.asarray(batch["rel_camera_indices"]),
+            "coords": jnp.asarray(batch["coords"]),
+            "image": jnp.asarray(batch["image"]),
+        }
+        fineness = jnp.asarray(self.sampler.fineness(step), jnp.float32)
+        active_block = jnp.asarray(max(self.sampler.cur_split_idx(step), 0),
+                                   jnp.int32)
+        self._rng, key = jax.random.split(self._rng)
+
+        self.state, self.sampler.oct_dev, metrics, err = self._train_step[stage](
+            self.state, self.statics, self.sampler.oct_dev, self.cameras_dev,
+            dev_batch, fineness, active_block, key,
+        )
+
+        # focal stage: live error-map update (gf_pipeline.py:179-186)
+        if stage == STAGE_BLOCK and cache.error_maps is not None:
+            cache.update_error_map(batch["indices"], np.asarray(err))
+
+        # init stage: milestone subdivision / compaction on host
+        if stage == STAGE_INIT:
+            self.sampler.maybe_rebuild(step)
+
+        return {k: float(v) for k, v in metrics.items()}
+
+    def after_train_iteration(self, step: int):
+        """Stage-transition callbacks, in reference registration order
+        (nerfacto.py:516-519): error maps -> clustering -> datamanager."""
+        mcfg = self.config.model
+        if (self.stage_of(step) == STAGE_BLOCK
+                and self.sampler.cameras_labels is None):
+            self.render_init_error_maps(step)
+            self.sampler.train_cameras_clustering(mcfg.n_blocks)
+            self.sampler.update_block_idxs(self.block_centers)
+        if self.stage_of(step) == STAGE_BLOCK:
+            self.datamanager.setup_train_split_oct(
+                self.sampler.cameras_labels,
+                self.sampler.cur_split_idx(step),
+                self.sample_tmp_dir,
+            )
+
+    # ----------------------------------------------------------- rendering ----
+
+    def render_camera(self, cameras_host, camera_idx: int, step: int,
+                      downscale: int = 1,
+                      rel_camera_index: Optional[int] = None,
+                      stage: Optional[int] = None):
+        """Chunked full-image render (Model.get_outputs_for_camera_ray_bundle,
+        base_model.py:162-186)."""
+        from gfnerf_tpu.cameras.cameras import generate_rays
+
+        h = int(cameras_host.height[camera_idx]) // downscale
+        w = int(cameras_host.width[camera_idx]) // downscale
+        coords = get_image_coords(h, w) * downscale
+        cams_dev = (cameras_host.to_device()
+                    if not hasattr(cameras_host, "fx") or
+                    isinstance(cameras_host.fx, np.ndarray)
+                    else cameras_host)
+        rays = generate_rays(cams_dev, camera_idx, jnp.asarray(coords))
+        origin = np.asarray(rays["origins"]).reshape(-1, 3)[0]
+
+        if stage is None:
+            stage = self.stage_of(step)
+        split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
+        if rel_camera_index is None:
+            rel_camera_index = nearest
+
+        chunk = self.config.eval_num_rays_per_chunk
+        o = np.asarray(rays["origins"]).reshape(-1, 3)
+        d = np.asarray(rays["directions"]).reshape(-1, 3)
+        n = o.shape[0]
+        outs = []
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            ro = jnp.asarray(o[start:end])
+            rd = jnp.asarray(d[start:end])
+            if end - start < chunk:  # pad to static chunk shape
+                pad = chunk - (end - start)
+                ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
+                rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
+            out = self._render_chunk(
+                self.state.params, self.statics, self.sampler.oct_dev,
+                ro, rd,
+                jnp.asarray(rel_camera_index, jnp.int32),
+                jnp.asarray(max(split_idx, 0), jnp.int32),
+                jnp.asarray(stage == STAGE_BLOCK),
+            )
+            outs.append({k: np.asarray(v)[: end - start]
+                         for k, v in out.items()})
+        result = {k: np.concatenate([o[k] for o in outs]).reshape(h, w, -1)
+                  for k in outs[0]}
+        return result
+
+    def render_init_error_maps(self, step: int):
+        """Render all train views at 1/8 res and save |err| maps
+        (nerfacto.py:361-427)."""
+        import imageio.v2 as imageio
+
+        sample_tmp = self.base_dir / "sample_tmp"
+        self.sample_tmp_dir = str(sample_tmp)
+        for sub in ("gt", "pred", "npy", "png"):
+            os.makedirs(sample_tmp / sub, exist_ok=True)
+
+        dm = self.datamanager
+        cams = dm.train_dataparser_outputs.cameras
+        filenames = dm.train_dataparser_outputs.image_filenames
+        down = 8
+        for idx in range(len(cams)):
+            base = os.path.basename(str(filenames[idx]))
+            gt = dm.train_dataset.get_image(idx)  # (H, W, 3)
+            h, w = gt.shape[:2]
+            out = self.render_camera(cams, idx, step, downscale=down,
+                                     rel_camera_index=dm.train_dataset
+                                     .metadata["global_image_indices"][idx],
+                                     stage=STAGE_INIT)
+            pred_small = out["rgb"]
+            # nearest upsample to full res (nerfacto.py:404-406)
+            pred = pred_small.repeat(down, axis=0).repeat(down, axis=1)[:h, :w]
+            if pred.shape[:2] != (h, w):
+                ph, pw = pred.shape[:2]
+                pred = np.pad(pred, ((0, h - ph), (0, w - pw), (0, 0)),
+                              mode="edge")
+            error = np.abs(gt - pred).sum(axis=-1)  # (H, W)
+            np.save(sample_tmp / "npy" / (base + ".npy"), error)
+            to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+            imageio.imwrite(sample_tmp / "png" / (base + ".png"),
+                            to8(error / max(error.max(), 1e-6)))
+            imageio.imwrite(sample_tmp / "gt" / (base + ".png"), to8(gt))
+            imageio.imwrite(sample_tmp / "pred" / (base + ".png"), to8(pred))
+
+    # ---------------------------------------------------------------- eval ----
+
+    @profiler.time_function
+    def get_eval_image_metrics_and_images(self, step: int, idx: int = 0):
+        """PSNR/SSIM (+LPIPS when available) on one eval image
+        (gf_pipeline.py:195-268, nerfacto.py:716-747)."""
+        import time as _time
+
+        dm = self.datamanager
+        cam_idx, data = dm.next_eval_image(idx)
+        gt = data["image"]
+        t0 = _time.perf_counter()
+        out = self.render_camera(dm.eval_dataparser_outputs.cameras, cam_idx,
+                                 step)
+        dt = _time.perf_counter() - t0
+        pred = out["rgb"]
+        mse = float(np.mean((pred - gt) ** 2))
+        metrics = {
+            "psnr": -10.0 * np.log10(mse + 1e-12),
+            "ssim": float(compute_ssim(pred, gt)),
+            "num_rays_per_sec": gt.shape[0] * gt.shape[1] / dt,
+            "fps": 1.0 / dt,
+        }
+        images = {"img": np.concatenate([gt, pred], axis=1),
+                  "depth": out["depth"], "accumulation": out["accumulation"]}
+        return metrics, images
+
+    def get_average_eval_image_metrics(self, step: int):
+        dm = self.datamanager
+        n = len(dm.eval_dataset)
+        all_metrics = []
+        for i in range(n):
+            m, _ = self.get_eval_image_metrics_and_images(step, i)
+            all_metrics.append(m)
+        return {k: float(np.mean([m[k] for m in all_metrics]))
+                for k in all_metrics[0]}
+
+
+def compute_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """SSIM (11x11 gaussian, standard constants) in numpy."""
+    from scipy.ndimage import gaussian_filter
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    vals = []
+    for ch in range(a.shape[-1]):
+        x, y = a[..., ch], b[..., ch]
+        mx = gaussian_filter(x, 1.5)
+        my = gaussian_filter(y, 1.5)
+        mxy = gaussian_filter(x * y, 1.5)
+        mxx = gaussian_filter(x * x, 1.5)
+        myy = gaussian_filter(y * y, 1.5)
+        vx = mxx - mx ** 2
+        vy = myy - my ** 2
+        cov = mxy - mx * my
+        s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
+            (mx ** 2 + my ** 2 + c1) * (vx + vy + c2))
+        vals.append(s.mean())
+    return float(np.mean(vals))

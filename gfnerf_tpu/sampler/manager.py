@@ -1,0 +1,186 @@
+"""Host-side PersSampler orchestration.
+
+Equivalent of the Python wrapper ``gfnerf/perssampler.py`` (PersSampler): owns
+the host octree + its device mirror, schedules milestone subdivisions and
+periodic compaction (the reference does this inside ``UpdateOctNodes``,
+PersSampler_cuda.cu:667-677), provides the march-fineness annealing, camera
+clustering, and nearest-camera split lookup for eval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from gfnerf_tpu.sampler import octree as octree_mod
+from gfnerf_tpu.sampler.clustering import spectral_equal_size_clustering
+from gfnerf_tpu.sampler.octree import PersOctree, build_octree, proc_octree
+from gfnerf_tpu.sampler.perssampler import (
+    OctreeDevice,
+    SamplerConfig,
+    octree_from_device,
+    octree_to_device,
+)
+
+
+@dataclasses.dataclass
+class PersSamplerManagerConfig:
+    """Host-side sampler knobs (gfnerf/perssampler.py:48-76,
+    gfnerf/nerfacto.py:223-227)."""
+
+    split_dist_thres: float = 1.5
+    sub_div_milestones: tuple = (2000, 4000, 6000, 8000, 10000)
+    compact_freq: int = 1000
+    global_near: float = 0.01
+    scale_by_dis: bool = True
+    bbox_levels: int = 10           # model passes bbox_levels=10 (nerfacto.py:223)
+    sample_l: float = 1.0 / 256
+    max_level: int = 16
+    ray_march_init_fineness: float = 16.0
+    ray_march_fineness_decay_end_iter: int = 10000
+    max_samples: int = 1024
+    node_capacity: int = 262144
+    seed: int = 0
+    vis_res_w: int = 128
+    n_rand_pts: int = 32 * 32 * 32
+
+
+class PersSamplerManager:
+    def __init__(
+        self,
+        c2w: np.ndarray,       # (N, 3, 4) train cameras
+        intri: np.ndarray,     # (N, 3, 3)
+        bounds: np.ndarray,    # (N, 2)
+        config: PersSamplerManagerConfig,
+        n_split_dataset: int,
+        steps_per_split_dataset: int,
+        steps_perssampler_init: int,
+    ):
+        self.cfg = config
+        self.c2w = c2w
+        self.intri = intri
+        self.bounds = bounds
+        self.n_split_dataset = n_split_dataset
+        self.steps_per_split_dataset = steps_per_split_dataset
+        self.steps_perssampler_init = steps_perssampler_init
+
+        # scale milestones / decay with init length (perssampler.py:98-100)
+        scale = max(steps_perssampler_init // 30000, 1)
+        self.milestones: List[int] = sorted(
+            int(m * scale) for m in config.sub_div_milestones
+        )
+        self.decay_end_iter = int(
+            config.ray_march_fineness_decay_end_iter * scale
+        )
+
+        self.tree: PersOctree = build_octree(
+            c2w, intri, bounds,
+            max_depth=config.max_level,
+            bbox_levels=config.bbox_levels,
+            split_dist_thres=config.split_dist_thres,
+            seed=config.seed,
+            n_rand_pts=config.n_rand_pts,
+            vis_res_w=config.vis_res_w,
+        )
+        self.n_volumes = self.tree.n_volumes
+        self.capacity = config.node_capacity
+        self.oct_dev: OctreeDevice = octree_to_device(self.tree, self.capacity)
+        self.cameras_labels: Optional[np.ndarray] = None
+
+        self.sampler_config = SamplerConfig(
+            max_samples=config.max_samples,
+            sample_l=config.sample_l,
+            scale_by_dis=config.scale_by_dis,
+            global_near=config.global_near,
+            locate_iters=config.max_level + 8,
+        )
+
+    # ------------------------------------------------------------- march ----
+
+    def fineness(self, step: int) -> float:
+        """UpdateRayMarch (PersSampler.cpp:958-967)."""
+        if step >= self.decay_end_iter:
+            return 1.0
+        progress = step / self.decay_end_iter
+        return float(np.exp(
+            np.log(self.cfg.ray_march_init_fineness) * (1.0 - progress)))
+
+    # ------------------------------------------------- milestone rebuilds ----
+
+    def maybe_rebuild(self, step: int) -> bool:
+        """Milestone subdivision + periodic compaction
+        (PersSampler::UpdateOctNodes tail, PersSampler_cuda.cu:667-677).
+        Returns True if the device octree was replaced."""
+        do_milestone = bool(self.milestones) and self.milestones[0] <= step
+        do_compact = (step > 0 and step % self.cfg.compact_freq == 0)
+        if not (do_milestone or do_compact):
+            return False
+
+        self.tree = octree_from_device(self.oct_dev, self.tree)
+        while self.milestones and self.milestones[0] <= step:
+            m = self.milestones.pop(0)
+            self.tree = proc_octree(self.tree, compact=True, subdivide=True,
+                                    brute_force=m <= 0)
+            w2c = self._w2c()
+            octree_mod.mark_invisible_nodes(
+                self.tree, self.c2w, w2c, self.intri, self.bounds)
+            self.tree = proc_octree(self.tree, compact=True, subdivide=False,
+                                    brute_force=False)
+        if do_compact and not do_milestone:
+            self.tree = proc_octree(self.tree, compact=True, subdivide=False,
+                                    brute_force=False)
+
+        while self.tree.n_nodes > self.capacity:
+            self.capacity *= 2
+        self.oct_dev = octree_to_device(self.tree, self.capacity)
+        return True
+
+    def _w2c(self) -> np.ndarray:
+        n = len(self.c2w)
+        w2c = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        w2c[:, :3, :] = self.c2w
+        return np.linalg.inv(w2c)[:, :3, :]
+
+    # ------------------------------------------------------------ blocks ----
+
+    def update_block_idxs(self, block_centers: np.ndarray):
+        octree_mod.update_block_idxs(self.tree, block_centers)
+        self.oct_dev = octree_to_device(self.tree, self.capacity)
+
+    def train_cameras_clustering(self, k: int):
+        """Spectral equal-size clustering on pairwise camera distances
+        (perssampler.py:216-242; distances = origin distances,
+        perssampler.py:170-215)."""
+        assert self.cameras_labels is None
+        pos = self.c2w[:, :3, 3]
+        dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        labels = spectral_equal_size_clustering(
+            dist, nclusters=k,
+            nneighbors=int(dist.shape[0] * 0.1), seed=1234,
+        )
+        self.cameras_labels = labels.astype(np.int64)
+        sizes = np.bincount(labels, minlength=k)
+        assert (sizes > 0).all()
+        return labels
+
+    # --------------------------------------------------------------- eval ----
+
+    def cur_split_idx(self, step: int) -> int:
+        """Training-time split index (perssampler.py:363-366)."""
+        if step < self.steps_perssampler_init:
+            return -1
+        return ((step - self.steps_perssampler_init)
+                // self.steps_per_split_dataset) % self.n_split_dataset
+
+    def get_nearest_split_dataset(self, origin: np.ndarray):
+        """Eval-time block + appearance lookup (perssampler.py:138-165)."""
+        pos = self.c2w[:, :3, 3]
+        dists = np.linalg.norm(pos - origin.reshape(1, 3), axis=1)
+        nearest = int(np.argmin(dists))
+        if self.cameras_labels is not None:
+            return int(self.cameras_labels[nearest]), nearest
+        # fall back to contiguous-chunk mapping (perssampler.py:246-263)
+        n_per = max(len(pos) // self.n_split_dataset, 1)
+        return min(nearest // n_per, self.n_split_dataset - 1), nearest

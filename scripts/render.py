@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Render a camera trajectory from a trained checkpoint.
+
+Equivalent of the reference ``scripts/render.py`` (RenderTrajectory,
+:47-365): camera-path json / interpolated / spiral trajectories, optional
+per-frame appearance ``embedding_indices`` override (:112-115), output as an
+image directory or an mp4 (via imageio/cv2 instead of mediapy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def cameras_from_camera_path(path_json: dict):
+    """nerfstudio camera_path.json -> CamerasHost."""
+    from gfnerf_tpu.data.dataparsers.base import CamerasHost
+
+    frames = path_json["camera_path"]
+    h = int(path_json["render_height"])
+    w = int(path_json["render_width"])
+    c2ws, fovs = [], []
+    for fr in frames:
+        m = np.array(fr["camera_to_world"], dtype=np.float32).reshape(4, 4)
+        c2ws.append(m[:3, :4])
+        fovs.append(float(fr["fov"]))
+    c2w = np.stack(c2ws)
+    n = len(c2w)
+    fov = np.asarray(fovs, np.float32)
+    focal = h / 2.0 / np.tan(np.deg2rad(fov) / 2.0)
+    return CamerasHost(
+        camera_to_worlds=c2w,
+        fx=focal, fy=focal,
+        cx=np.full(n, w / 2.0, np.float32),
+        cy=np.full(n, h / 2.0, np.float32),
+        width=np.full(n, w, np.int32),
+        height=np.full(n, h, np.int32),
+    )
+
+
+def interpolate_cameras(cams, steps_per_transition: int = 10):
+    """Interpolated trajectory through the eval cameras (render.py traj
+    'interpolate')."""
+    import dataclasses
+
+    from scipy.spatial.transform import Rotation, Slerp
+
+    n = len(cams)
+    c2w = cams.camera_to_worlds
+    out = []
+    for i in range(n - 1):
+        r = Rotation.from_matrix(np.stack([c2w[i, :3, :3], c2w[i + 1, :3, :3]]))
+        slerp = Slerp([0, 1], r)
+        for t in np.linspace(0, 1, steps_per_transition, endpoint=False):
+            rot = slerp(t).as_matrix()
+            pos = (1 - t) * c2w[i, :3, 3] + t * c2w[i + 1, :3, 3]
+            out.append(np.concatenate([rot, pos[:, None]], axis=-1))
+    m = len(out)
+    rep = lambda a: np.repeat(a[:1], m, axis=0)
+    return dataclasses.replace(
+        cams[np.zeros(m, np.int64)],
+        camera_to_worlds=np.stack(out).astype(np.float32),
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--load-config", type=Path, required=True)
+    parser.add_argument("--traj", default="spiral",
+                        choices=["spiral", "interpolate", "filename"])
+    parser.add_argument("--camera-path-filename", type=Path, default=None)
+    parser.add_argument("--output-path", type=Path, default=Path("renders"))
+    parser.add_argument("--output-format", default="images",
+                        choices=["images", "video"])
+    parser.add_argument("--downscale-factor", type=int, default=1)
+    parser.add_argument("--embedding-indices", type=int, nargs="*",
+                        default=None)
+    parser.add_argument("--dataparser", default=None)
+    args = parser.parse_args(argv)
+
+    from gfnerf_tpu.utils.eval_utils import eval_setup
+
+    config, trainer = eval_setup(args.load_config, args.dataparser)
+    pipeline = trainer.pipeline
+    step = int(pipeline.state.step)
+
+    if args.traj == "filename":
+        assert args.camera_path_filename is not None
+        path_json = json.loads(args.camera_path_filename.read_text())
+        cams = cameras_from_camera_path(path_json)
+    else:
+        eval_cams = pipeline.datamanager.eval_dataparser_outputs.cameras
+        cams = interpolate_cameras(eval_cams) if args.traj == "interpolate" \
+            else eval_cams
+
+    import imageio.v2 as imageio
+
+    frames = []
+    args.output_path.mkdir(parents=True, exist_ok=True)
+    for i in range(len(cams)):
+        rel = (args.embedding_indices[i % len(args.embedding_indices)]
+               if args.embedding_indices else None)
+        out = pipeline.render_camera(cams, i, step,
+                                     downscale=args.downscale_factor,
+                                     rel_camera_index=rel)
+        rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        if args.output_format == "images":
+            imageio.imwrite(args.output_path / f"{i:05d}.png", rgb)
+        else:
+            frames.append(rgb)
+        print(f"rendered frame {i + 1}/{len(cams)}")
+    if args.output_format == "video":
+        video_path = args.output_path / "render.mp4"
+        imageio.mimwrite(video_path, frames, fps=24)
+        print(f"wrote {video_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Train a registered method: ``python scripts/train.py gf-nerf --data ...``.
+
+CLI-parity equivalent of the reference's ``scripts/train.py`` (tyro over the
+method-config union, :243-252).  Multi-chip is a jax.sharding Mesh inside the
+train step (see gfnerf_tpu/parallel) rather than the reference's
+mp.spawn + NCCL worker launch (:90-214) — one process drives all local chips.
+
+Extra args are dotted config overrides: ``--pipeline.model.n_blocks 4``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_dataparser(name: str, data: Path, scale_factor: float = None):
+    if name == "nerfstudio":
+        from gfnerf_tpu.data.dataparsers.nerfstudio_parser import (
+            NerfstudioDataParser, NerfstudioDataParserConfig)
+
+        cfg = NerfstudioDataParserConfig(data=data)
+        if scale_factor is not None:
+            cfg.scale_factor = scale_factor
+        return NerfstudioDataParser(cfg)
+    if name == "blender":
+        from gfnerf_tpu.data.dataparsers.blender_parser import (
+            BlenderDataParser, BlenderDataParserConfig)
+
+        return BlenderDataParser(BlenderDataParserConfig(data=data))
+    if name == "minimal":
+        from gfnerf_tpu.data.dataparsers.minimal_parser import (
+            MinimalDataParser, MinimalDataParserConfig)
+
+        return MinimalDataParser(MinimalDataParserConfig(data=data))
+    raise ValueError(f"unknown dataparser {name}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("method", help="registered method name (e.g. gf-nerf)")
+    parser.add_argument("--data", type=Path, required=True)
+    parser.add_argument("--dataparser", default="nerfstudio",
+                        choices=["nerfstudio", "blender", "minimal"])
+    parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
+    parser.add_argument("--experiment-name", default=None)
+    parser.add_argument("--max-num-iterations", type=int, default=None)
+    parser.add_argument("--vis", default="tensorboard",
+                        choices=["tensorboard", "wandb", "local",
+                                 "viewer+tensorboard"])
+    parser.add_argument("--load-dir", type=Path, default=None)
+    parser.add_argument("--dataparser-scale-factor", type=float, default=None)
+    args, unknown = parser.parse_known_args(argv)
+
+    from gfnerf_tpu.configs.config_io import apply_override
+    from gfnerf_tpu.configs.method_configs import discover_methods
+
+    methods = discover_methods()
+    if args.method not in methods:
+        print(f"unknown method {args.method!r}; available: "
+              f"{sorted(methods)}")
+        sys.exit(1)
+    config = methods[args.method]()
+    config.data = args.data
+    config.output_dir = args.output_dir
+    config.vis = args.vis
+    if args.experiment_name:
+        config.experiment_name = args.experiment_name
+    if args.max_num_iterations is not None:
+        config.max_num_iterations = args.max_num_iterations
+    if args.load_dir is not None:
+        config.load_dir = args.load_dir
+
+    # dotted overrides: --a.b.c value
+    i = 0
+    while i < len(unknown):
+        key = unknown[i]
+        if not key.startswith("--"):
+            raise SystemExit(f"unexpected argument {key!r}")
+        apply_override(config, key[2:], unknown[i + 1])
+        i += 2
+
+    dataparser = build_dataparser(args.dataparser, args.data,
+                                  args.dataparser_scale_factor)
+
+    from gfnerf_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(config, dataparser)
+    trainer.setup()
+    trainer.train()
+    print(f"training complete; outputs in {trainer.base_dir}")
+
+
+if __name__ == "__main__":
+    main()
