@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state training throughput on the real chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload mirrors the reference's default shape (BASELINE.md): 8192 rays per
+batch, up to 1024 samples/ray, 16-level 2^21 anchored hash table, full jitted
+train step (march + field + losses + grads + Adam + occupancy stats) on a
+synthetic multi-sphere scene.  ``vs_baseline`` is the fraction of the
+BASELINE.json north-star per-chip rate (1M rays/s on a v5p-8 => 125k
+rays/s/chip; this environment's chip is a v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+NORTH_STAR_RAYS_PER_SEC_PER_CHIP = 125_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer
+    from gfnerf_tpu.fields.field import STAGE_INIT, FieldConfig, init_field_params
+    from gfnerf_tpu.models.gfnerf import (
+        GFNeRFModelConfig,
+        TrainState,
+        make_train_step,
+    )
+    from gfnerf_tpu.sampler.octree import build_octree
+    from gfnerf_tpu.sampler.perssampler import SamplerConfig, octree_to_device
+    from gfnerf_tpu.utils.synthetic import ring_cameras, render_spheres
+    from gfnerf_tpu.data.dataparsers.base import CamerasHost
+
+    n_cams = 48
+    img_w, img_h = 96, 72
+    c2w, fx, fy, cx, cy, w, h = ring_cameras(n_cams, img_wh=(img_w, img_h))
+    intri = np.zeros((n_cams, 3, 3), np.float32)
+    intri[:, 0, 0] = fx
+    intri[:, 1, 1] = fy
+    intri[:, 0, 2] = cx
+    intri[:, 1, 2] = cy
+    intri[:, 2, 2] = 1
+    images = render_spheres(c2w, fx, fy, cx, cy, w, h)
+    bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (n_cams, 1))
+
+    tree = build_octree(c2w, intri, bounds, max_depth=8, bbox_levels=4,
+                        n_rand_pts=4096, vis_res_w=64, seed=0)
+    oct_dev = octree_to_device(tree, capacity=32768)
+
+    scfg = SamplerConfig(max_samples=1024, sample_l=1.0 / 256,
+                         locate_iters=12)
+    fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
+                       log2_hashmap_size=21, num_levels=16, n_blocks=2)
+    mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0)
+    params, statics = init_field_params(fcfg, seed=0)
+    ocfg = OptimizersConfig()
+    tx = build_optimizer(ocfg, params)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.asarray(0, jnp.int32))
+    step_fn = make_train_step(fcfg, mcfg, scfg, tx, STAGE_INIT)
+
+    cams_host = CamerasHost(
+        camera_to_worlds=c2w, fx=fx, fy=fy, cx=cx, cy=cy,
+        width=np.full(n_cams, w, np.int32),
+        height=np.full(n_cams, h, np.int32),
+    )
+    cameras = cams_host.to_device()
+
+    R = 8192
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        ki = rng.integers(0, n_cams, R)
+        yi = rng.integers(0, h, R)
+        xi = rng.integers(0, w, R)
+        return {
+            "camera_indices": jnp.asarray(ki, jnp.int32),
+            "rel_camera_indices": jnp.asarray(ki, jnp.int32),
+            "coords": jnp.asarray(
+                np.stack([yi + 0.5, xi + 0.5], -1), jnp.float32),
+            "image": jnp.asarray(images[ki, yi, xi], jnp.float32),
+        }
+
+    key = jax.random.PRNGKey(0)
+    fineness = jnp.asarray(4.0, jnp.float32)
+    active = jnp.asarray(0, jnp.int32)
+
+    # warmup / compile
+    batch = make_batch()
+    state, oct_dev, metrics, _ = step_fn(state, statics, oct_dev, cameras,
+                                         batch, fineness, active, key)
+    jax.block_until_ready(metrics)
+
+    n_iters = 10
+    batches = [make_batch() for _ in range(n_iters)]
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        state, oct_dev, metrics, _ = step_fn(
+            state, statics, oct_dev, cameras, batches[i], fineness, active,
+            sub)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n_iters
+    rays_per_sec = R / dt
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC_PER_CHIP,
+                             4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ from gfnerf_tpu.fields.hash_encoding import (
     N_CHANNELS,
     N_LEVELS,
     hash_encode_raw,
+    hash_encode_sorted,
     init_hash_params,
 )
 from gfnerf_tpu.fields.mlp import apply_mlp, init_mlp
@@ -177,14 +178,17 @@ def field_density(
     pts = ((warp_pts + 1.5) / 3.0).reshape(-1, 3)  # nerfacto_field.py:431
     anc = anchors.reshape(-1)
 
-    feats = hash_encode_raw(
+    # hash_encode_sorted == hash_encode_raw forward; its custom VJP builds
+    # the table gradient by sort + prefix-diff instead of XLA's serialized
+    # scatter-add (see hash_encoding.py + PERF_NOTES.md).
+    feats = hash_encode_sorted(
         params.global_feat, statics.global_prim, statics.global_bias, pts, anc
     )
     if stage == STAGE_BLOCK:
         # Global branch frozen in focal stage (nerfacto_field.py:460-461);
         # stop_gradient additionally prunes its (large) backward scatter.
         feats = jax.lax.stop_gradient(feats)
-        feats = feats + hash_encode_raw(
+        feats = feats + hash_encode_sorted(
             params.block_feats[active_block],
             statics.block_prims[active_block],
             statics.block_biases[active_block],

@@ -190,40 +190,43 @@ def hash_encode_raw(
 
     scales = jnp.asarray(_level_scales(n_levels))  # (L,)
 
-    # (L, P, 3): scaled + per-(level, volume)-biased points
-    pt = points[None, :, :] * scales[:, None, None]
-    pt = pt + jnp.take_along_axis(
-        bias_pool, vol[None, :, None].astype(jnp.int32), axis=1
-    )  # bias_pool (L, V, 3) gathered at vol -> (L, P, 3)
+    # Scan over levels: keeps peak memory at O(P) instead of O(L*P*8*3)
+    # (the naive fully-vectorized form OOMs at 8M+ points), while the 8
+    # corner gathers per level are unrolled (P,)-shaped VPU work.
+    def level_fn(carry, xs):
+        feat_l, prim_l, bias_l, scale_l = xs
+        pt = points * scale_l + bias_l[vol]           # (P, 3)
+        pos_f = jnp.floor(pt)
+        frac = pt - pos_f                             # (P, 3)
+        pos = pos_f.astype(jnp.int32).astype(jnp.uint32)
+        prim = prim_l[vol]                            # (P, 3) uint32
 
-    pos_f = jnp.floor(pt)
-    frac = pt - pos_f                      # (L, P, 3) in [0, 1)
-    pos = pos_f.astype(jnp.int32).astype(jnp.uint32)  # (L, P, 3)
+        hx0 = pos[:, 0] * prim[:, 0]
+        hy0 = pos[:, 1] * prim[:, 1]
+        hz0 = pos[:, 2] * prim[:, 2]
+        hx1 = (pos[:, 0] + jnp.uint32(1)) * prim[:, 0]
+        hy1 = (pos[:, 1] + jnp.uint32(1)) * prim[:, 1]
+        hz1 = (pos[:, 2] + jnp.uint32(1)) * prim[:, 2]
+        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
 
-    prim = jnp.take_along_axis(
-        prim_pool, vol[None, :, None].astype(jnp.int32), axis=1
-    )  # (L, P, 3) uint32
+        out_l = jnp.zeros((points.shape[0], n_channels), compute_dtype)
+        feat_c = feat_l.astype(compute_dtype)
+        for cx, hx, wx in ((0, hx0, 1 - fx), (1, hx1, fx)):
+            for cy, hy, wy in ((0, hy0, 1 - fy), (1, hy1, fy)):
+                for cz, hz, wz in ((0, hz0, 1 - fz), (1, hz1, fz)):
+                    idx = ((hx ^ hy ^ hz) & mask_mod).astype(jnp.int32)
+                    w = (wx * wy * wz).astype(compute_dtype)
+                    out_l = out_l + feat_c[idx] * w[:, None]
+        return carry, out_l
 
-    # corner coords (L, P, 8, 3) and their hashes
-    corner = pos[:, :, None, :] + _CORNERS[None, None, :, :]
-    h = corner * prim[:, :, None, :]       # uint32 wraparound multiply
-    idx = (h[..., 0] ^ h[..., 1] ^ h[..., 2]) & mask_mod   # (L, P, 8)
-
-    # trilinear weights: w_corner = prod over axes of frac or (1 - frac)
-    f = frac[:, :, None, :]               # (L, P, 1, 3)
-    c = _CORNERS[None, None, :, :].astype(points.dtype)
-    w = jnp.prod(f * c + (1.0 - f) * (1.0 - c), axis=-1)   # (L, P, 8)
-
-    # gather features: flat pool (L*local, C), offset indices per level
-    flat = feat_pool.reshape(n_levels * local_size, n_channels)
-    level_off = (jnp.arange(n_levels, dtype=jnp.uint32) * jnp.uint32(local_size))
-    gidx = (idx + level_off[:, None, None]).astype(jnp.int32)  # (L, P, 8)
-    feats = flat.astype(compute_dtype)[gidx]                # (L, P, 8, C)
-
-    out = jnp.sum(feats * w.astype(compute_dtype)[..., None], axis=2)  # (L, P, C)
-    out = out * valid[None, :, None]
+    _, outs = jax.lax.scan(
+        level_fn, None,
+        (feat_pool, prim_pool, bias_pool, scales),
+    )  # outs: (L, P, C)
+    out = outs * valid[None, :, None]
     # layout (P, L*C) matching out_feat[level*C + k] (_cuda.cu:73)
-    out = jnp.transpose(out, (1, 0, 2)).reshape(points.shape[0], n_levels * n_channels)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(
+        points.shape[0], n_levels * n_channels)
     return out.astype(jnp.float32)
 
 
@@ -238,6 +241,108 @@ def hash_encode(
         params.feat_pool, params.prim_pool, params.bias_pool,
         points, anchors, compute_dtype=compute_dtype,
     )
+
+
+# ------------------------------------------------------------------------
+# Sorted backward: XLA's non-unique scatter-add on TPU runs at ~19M rows/s
+# (PERF_NOTES.md) — at K points x L levels x 8 corners that dominates the
+# whole train step.  ``hash_encode_sorted_bwd`` replaces it with a custom
+# VJP whose table gradient is built per level by:
+#   1. sort the corner hashes with the weighted grads as a *payload*
+#      (2 channels packed into one f32 as bf16 pairs — the reference's fp16
+#      atomics have the same precision, Hash3DAnchored_cuda.cu:150),
+#   2. cumsum over the sorted payload (run-sum prefix),
+#   3. ONE unique-index scatter of run-end positions into the table,
+#   4. dense grad = prefix-difference at those positions via gathers +
+#      a monotone cummax fill (no non-unique scatter anywhere).
+# ------------------------------------------------------------------------
+
+
+def _corner_data(feat_shape, prim_l, bias_l, scale_l, points, vol, valid):
+    """Per-level corner indices (P, 8) and trilinear weights (P, 8)."""
+    local_size = feat_shape[0]
+    mask_mod = jnp.uint32(local_size - 1)
+    pt = points * scale_l + bias_l[vol]
+    pos_f = jnp.floor(pt)
+    frac = pt - pos_f
+    pos = pos_f.astype(jnp.int32).astype(jnp.uint32)
+    prim = prim_l[vol]
+    hx = jnp.stack([pos[:, 0] * prim[:, 0],
+                    (pos[:, 0] + jnp.uint32(1)) * prim[:, 0]], -1)
+    hy = jnp.stack([pos[:, 1] * prim[:, 1],
+                    (pos[:, 1] + jnp.uint32(1)) * prim[:, 1]], -1)
+    hz = jnp.stack([pos[:, 2] * prim[:, 2],
+                    (pos[:, 2] + jnp.uint32(1)) * prim[:, 2]], -1)
+    corners = _CORNERS  # (8, 3) bit pattern (x, y, z)
+    idx = ((hx[:, corners[:, 0]] ^ hy[:, corners[:, 1]]
+            ^ hz[:, corners[:, 2]]) & mask_mod).astype(jnp.int32)  # (P, 8)
+    f = frac[:, None, :]
+    c = corners[None, :, :].astype(points.dtype)
+    w = jnp.prod(f * c + (1.0 - f) * (1.0 - c), axis=-1)  # (P, 8)
+    w = w * valid[:, None]
+    return idx, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def hash_encode_sorted(feat_pool, prim_pool, bias_pool, points, anchors):
+    return hash_encode_raw(feat_pool, prim_pool, bias_pool, points, anchors)
+
+
+def _hes_fwd(feat_pool, prim_pool, bias_pool, points, anchors):
+    out = hash_encode_raw(feat_pool, prim_pool, bias_pool, points, anchors)
+    return out, (feat_pool.shape, prim_pool, bias_pool, points, anchors)
+
+
+def _hes_bwd(res, g):
+    feat_shape, prim_pool, bias_pool, points, anchors = res
+    n_levels, local_size, n_channels = feat_shape
+    assert n_channels == 2, "sorted bwd packs exactly 2 channels"
+    n_volumes = prim_pool.shape[1]
+    p_count = points.shape[0]
+    valid = (anchors >= 0).astype(points.dtype)
+    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
+    scales = jnp.asarray(_level_scales(n_levels))
+    g = g.reshape(p_count, n_levels, n_channels)
+    k8 = p_count * 8
+
+    def level_fn(carry, xs):
+        prim_l, bias_l, scale_l, g_l = xs
+        idx, w = _corner_data((local_size,), prim_l, bias_l, scale_l,
+                              points, vol, valid)
+        wv0 = (w * g_l[:, 0:1]).reshape(-1)         # (K8,)
+        wv1 = (w * g_l[:, 1:2]).reshape(-1)
+        # pack 2 channels as bf16 pairs in one f32 payload
+        packed = jax.lax.bitcast_convert_type(
+            jnp.stack([wv0.astype(jnp.bfloat16),
+                       wv1.astype(jnp.bfloat16)], -1), jnp.float32)
+        skeys, spacked = jax.lax.sort((idx.reshape(-1), packed),
+                                      dimension=0, num_keys=1)
+        sv = jax.lax.bitcast_convert_type(spacked, jnp.bfloat16)  # (K8, 2)
+        prefix = jnp.cumsum(sv.astype(jnp.float32), axis=0)       # (K8, 2)
+        is_end = jnp.concatenate(
+            [skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
+        pos1 = jnp.arange(1, k8 + 1, dtype=jnp.int32)
+        # ONE unique scatter: run-end position+1 at each present key
+        endpos = jnp.zeros((local_size,), jnp.int32).at[
+            jnp.where(is_end, skeys, local_size)
+        ].max(jnp.where(is_end, pos1, 0), mode="drop")
+        fill = jax.lax.cummax(endpos)               # monotone positions
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), fill[:-1]])
+        p_end = prefix[jnp.maximum(endpos - 1, 0)]  # (N, 2) gather
+        p_prev = jnp.where((prev > 0)[:, None],
+                           prefix[jnp.maximum(prev - 1, 0)], 0.0)
+        dense = jnp.where((endpos > 0)[:, None], p_end - p_prev, 0.0)
+        return carry, dense
+
+    _, grads = jax.lax.scan(
+        level_fn, None,
+        (prim_pool, bias_pool, scales,
+         jnp.moveaxis(g, 1, 0)),  # (L, P, C)
+    )
+    return (grads, None, None, None, None)
+
+
+hash_encode_sorted.defvjp(_hes_fwd, _hes_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=())

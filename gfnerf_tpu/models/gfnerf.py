@@ -49,8 +49,22 @@ from gfnerf_tpu.sampler.perssampler import (
     SamplerConfig,
     get_samples,
     update_oct_nodes,
+    warp_points,
 )
 from gfnerf_tpu.utils.structs import dataclass, static_field
+
+
+def sample_rays(oct_dev, rays_o, rays_d, noise_unscaled, fineness,
+                scfg: SamplerConfig):
+    """Dispatch between the vectorized leaf-list march ("fast") and the
+    sequential point-location march ("scan"). noise_unscaled in [0.5, 1.5]."""
+    if scfg.march == "fast":
+        from gfnerf_tpu.sampler.fast_march import get_samples_fast
+
+        return get_samples_fast(oct_dev, rays_o, rays_d, noise_unscaled,
+                                fineness, scfg)
+    return get_samples(oct_dev, rays_o, rays_d, noise_unscaled * fineness,
+                       scfg)
 
 
 import dataclasses as _dc
@@ -77,6 +91,12 @@ class GFNeRFModelConfig:
     s3im_patch_height: int = 32
     use_semantics: bool = False
     semantic_loss_weight: float = 0.0
+    samples_budget_per_ray: int = 256
+    """Compaction budget: the field is evaluated only on valid samples,
+    gathered into a fixed (R * budget) buffer and scattered back — the TPU
+    equivalent of the reference's valid-mask indexing
+    (nerfacto_field.py:444,454). Matches num_nerf_samples_per_ray=256
+    (gfnerf/config.py:122). 0 disables compaction (dense evaluation)."""
 
 
 @dataclass
@@ -96,16 +116,64 @@ def model_forward(
     rel_camera_indices: jnp.ndarray,  # (R,) int32
     stage: int,
     active_block,
+    oct_dev: Optional[OctreeDevice] = None,
+    warp_deferred: bool = False,
 ):
     """Field + compositing for one ray batch (GFNeRFModel.get_outputs,
-    nerfacto.py:522-619)."""
-    density, geo = field_density(
-        params, statics, field_cfg, samples.warp_pts, samples.trans_idx,
-        stage, active_block,
-    )
-    dirs = jnp.broadcast_to(rays_d[:, None, :], samples.world_pts.shape)
-    rel = jnp.broadcast_to(rel_camera_indices[:, None], samples.trans_idx.shape)
-    heads = field_rgb(params, field_cfg, dirs, geo, rel, stage)
+    nerfacto.py:522-619).
+
+    warp_deferred: the fast march leaves warp_pts empty; warped coords are
+    computed here (after compaction) from world_pts + trans_idx, cutting the
+    warp-table gathers down to the valid subset.
+    """
+    r, s = samples.trans_idx.shape
+    n_trans = oct_dev.w2xz.shape[0] if oct_dev is not None else 1
+    budget = model_cfg.samples_budget_per_ray
+    if budget > 0 and budget < s:
+        # Compaction: evaluate the field only on valid samples.  The
+        # reference indexes by valid_mask (dynamic shapes); on TPU we gather
+        # into a fixed (R*budget) buffer and scatter results back.
+        k = r * budget
+        flat_valid = samples.valid.reshape(-1)
+        (idx,) = jnp.nonzero(flat_valid, size=k, fill_value=r * s)
+        pad = idx >= r * s
+        safe = jnp.minimum(idx, r * s - 1)
+        anc_k = jnp.where(pad, -1, samples.trans_idx.reshape(-1)[safe])
+        if warp_deferred:
+            world_k = samples.world_pts.reshape(-1, 3)[safe]
+            warp_k = warp_points(oct_dev, jnp.clip(anc_k, 0, n_trans - 1),
+                                 world_k)
+        else:
+            warp_k = samples.warp_pts.reshape(-1, 3)[safe]
+        density_k, geo_k = field_density(
+            params, statics, field_cfg, warp_k, anc_k, stage, active_block)
+        ray_k = safe // s
+        heads_k = field_rgb(params, field_cfg, rays_d[ray_k], geo_k,
+                            rel_camera_indices[ray_k], stage)
+        density = (jnp.zeros((r * s,))
+                   .at[idx].set(density_k, mode="drop").reshape(r, s))
+        heads = {
+            name: (jnp.zeros((r * s,) + val.shape[1:])
+                   .at[idx].set(val, mode="drop")
+                   .reshape(r, s, *val.shape[1:]))
+            for name, val in heads_k.items()
+        }
+    else:
+        if warp_deferred:
+            anc = jnp.clip(samples.trans_idx.reshape(-1), 0, n_trans - 1)
+            warp = warp_points(oct_dev, anc,
+                               samples.world_pts.reshape(-1, 3)).reshape(
+                                   r, s, 3)
+        else:
+            warp = samples.warp_pts
+        density, geo = field_density(
+            params, statics, field_cfg, warp, samples.trans_idx,
+            stage, active_block,
+        )
+        dirs = jnp.broadcast_to(rays_d[:, None, :], samples.world_pts.shape)
+        rel = jnp.broadcast_to(rel_camera_indices[:, None],
+                               samples.trans_idx.shape)
+        heads = field_rgb(params, field_cfg, dirs, geo, rel, stage)
 
     weights, alphas, trans = get_weights_f2nerf(samples.dists, density)
     rgb = render_rgb(weights, heads["rgb"], model_cfg.background_color)
@@ -149,9 +217,10 @@ def make_train_step(
         r = batch["coords"].shape[0]
         k_noise, k_s3im = jax.random.split(rng)
         noise = ((jax.random.uniform(k_noise, (r, sampler_cfg.max_samples))
-                  - 0.5) + 1.0) * fineness  # PersSampler_cuda GetSamples:385-389
-        samples = get_samples(oct_dev, rays["origins"], rays["directions"],
-                              noise, sampler_cfg)
+                  - 0.5) + 1.0)  # PersSampler_cuda GetSamples:385-389
+        samples = sample_rays(oct_dev, rays["origins"], rays["directions"],
+                              noise, fineness, sampler_cfg)
+        deferred = sampler_cfg.march == "fast"
 
         target = batch["image"]
 
@@ -159,7 +228,7 @@ def make_train_step(
             out = model_forward(
                 params, statics, field_cfg, model_cfg, samples,
                 rays["directions"], batch["rel_camera_indices"],
-                stage, active_block,
+                stage, active_block, oct_dev=oct_dev, warp_deferred=deferred,
             )
             if model_cfg.use_ch_loss:
                 rgb_loss = charbonnier_loss(out["rgb"], target)
@@ -224,15 +293,19 @@ def make_render_fn(
     ):
         r = rays_o.shape[0]
         noise = jnp.ones((r, sampler_cfg.max_samples))
-        samples = get_samples(oct_dev, rays_o, rays_d, noise, sampler_cfg)
+        samples = sample_rays(oct_dev, rays_o, rays_d, noise,
+                              jnp.asarray(1.0), sampler_cfg)
+        deferred = sampler_cfg.march == "fast"
         rel = jnp.broadcast_to(jnp.asarray(rel_camera_index, jnp.int32), (r,))
 
         out_init = model_forward(params, statics, field_cfg, model_cfg,
-                                 samples, rays_d, rel, STAGE_INIT, 0)
+                                 samples, rays_d, rel, STAGE_INIT, 0,
+                                 oct_dev=oct_dev, warp_deferred=deferred)
         if field_cfg.n_blocks > 0:
             out_block = model_forward(params, statics, field_cfg, model_cfg,
                                       samples, rays_d, rel, STAGE_BLOCK,
-                                      active_block)
+                                      active_block, oct_dev=oct_dev,
+                                      warp_deferred=deferred)
             out = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(stage_is_block, b, a),
                 out_init, out_block,

@@ -60,6 +60,9 @@ class OctreeDevice:
     alpha_stats: jnp.ndarray   # (C,) i32
     visit_cnt: jnp.ndarray     # (C,) i32
     n_nodes: jnp.ndarray       # () i32
+    # valid-leaf list for the vectorized march (node ids, -1 padded)
+    leaf_idx: jnp.ndarray      # (Lcap,) i32
+    n_leaves: jnp.ndarray      # () i32
     # warp arrays (fixed size T after construction)
     w2xz: jnp.ndarray          # (T, 12, 2, 4) f32
     warp_weight: jnp.ndarray   # (T, 3, 12) f32
@@ -77,12 +80,31 @@ class SamplerConfig:
     global_near: float = static_field(default=0.01)
     global_far: float = static_field(default=1e8)
     locate_iters: int = static_field(default=24)    # >= max tree depth
+    march: str = static_field(default="fast")       # "fast" | "scan"
+    max_hits: int = static_field(default=64)        # leaf hits/ray (fast march)
+    ray_chunk: int = static_field(default=1024)     # slab-test ray chunking
 
 
-def octree_to_device(tree: PersOctree, capacity: int) -> OctreeDevice:
+def leaf_capacity_for(n: int, minimum: int = 1024) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def octree_to_device(tree: PersOctree, capacity: int,
+                     leaf_capacity: int | None = None) -> OctreeDevice:
     """Upload a host octree into padded device arrays."""
     m = tree.n_nodes
     assert m <= capacity, f"octree has {m} nodes > capacity {capacity}"
+
+    valid_leaves = np.where(tree.is_leaf & (tree.trans_idx >= 0))[0].astype(
+        np.int32)
+    if leaf_capacity is None:
+        leaf_capacity = leaf_capacity_for(len(valid_leaves))
+    assert len(valid_leaves) <= leaf_capacity
+    leaf_idx = np.full(leaf_capacity, -1, np.int32)
+    leaf_idx[: len(valid_leaves)] = valid_leaves
 
     def pad(arr, fill, dtype=None):
         arr = np.asarray(arr)
@@ -92,6 +114,8 @@ def octree_to_device(tree: PersOctree, capacity: int) -> OctreeDevice:
         return jnp.asarray(out)
 
     return OctreeDevice(
+        leaf_idx=jnp.asarray(leaf_idx),
+        n_leaves=jnp.asarray(len(valid_leaves), jnp.int32),
         centers=pad(tree.centers, 0.0),
         side_lens=pad(tree.side_lens, 1.0),
         childs=pad(tree.childs, -1),

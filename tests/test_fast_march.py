@@ -1,0 +1,105 @@
+"""Fast (leaf-list) march vs the sequential scan march: behavioral parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gfnerf_tpu.sampler.fast_march import get_samples_fast
+from gfnerf_tpu.sampler.perssampler import (
+    SamplerConfig,
+    get_samples,
+    octree_to_device,
+)
+from tests.test_octree import build_test_tree, make_bounds
+
+
+def setup(ring_cameras, max_samples=128):
+    tree = build_test_tree(ring_cameras)
+    oct_dev = octree_to_device(tree, capacity=4096)
+    c2w, intri = ring_cameras
+    rays_o = jnp.asarray(c2w[:, :3, 3])
+    rays_d = jnp.asarray(-c2w[:, :3, 2])
+    return tree, oct_dev, rays_o, rays_d
+
+
+def test_fast_march_basic_invariants(ring_cameras):
+    tree, oct_dev, rays_o, rays_d = setup(ring_cameras)
+    cfg = SamplerConfig(max_samples=128, sample_l=1.0 / 32, max_hits=32,
+                        ray_chunk=len(ring_cameras[0]))
+    noise = jnp.ones((rays_o.shape[0], cfg.max_samples))
+    s = get_samples_fast(oct_dev, rays_o, rays_d, noise, jnp.asarray(1.0), cfg)
+
+    valid = np.asarray(s.valid)
+    assert valid.any()
+    ts = np.asarray(s.ts)
+    tr = np.asarray(s.trans_idx)
+    # valid anchors, positive deltas, t within bounds, inside root cube
+    assert (tr[valid] >= 0).all()
+    assert (np.asarray(s.dists)[valid] > 0).all()
+    wp = np.asarray(s.world_pts)
+    assert np.abs(wp[valid]).max() <= tree.side_lens[0] / 2 + 1e-3
+    # t increasing per ray
+    for r in range(valid.shape[0]):
+        tv = ts[r][valid[r]]
+        assert (np.diff(tv) > -1e-5).all()
+    # every valid sample's position actually lies inside the leaf it claims
+    oi = np.asarray(s.oct_idx)
+    for r in range(valid.shape[0]):
+        for c in np.where(valid[r])[0][:10]:
+            node = oi[r, c]
+            rel = np.abs(wp[r, c] - tree.centers[node])
+            assert rel.max() <= tree.side_lens[node] / 2 * (1 + 1e-3)
+
+
+def test_fast_march_covers_same_leaves_as_scan(ring_cameras):
+    """Both marchers should traverse the same set of leaves per ray."""
+    tree, oct_dev, rays_o, rays_d = setup(ring_cameras)
+    cfg = SamplerConfig(max_samples=256, sample_l=1.0 / 32, max_hits=32,
+                        ray_chunk=len(ring_cameras[0]))
+    noise = jnp.ones((rays_o.shape[0], cfg.max_samples))
+    fast = get_samples_fast(oct_dev, rays_o, rays_d, noise,
+                            jnp.asarray(1.0), cfg)
+    scan = get_samples(oct_dev, rays_o, rays_d, noise, cfg)
+
+    fv = np.asarray(fast.valid)
+    sv = np.asarray(scan.valid)
+    fts = np.asarray(fast.ts)
+    sts = np.asarray(scan.ts)
+    for r in range(rays_o.shape[0]):
+        if not sv[r].any():
+            continue
+        # similar sample counts and t coverage (exact leaf ids can differ
+        # for boundary-grazing rays — both sides are correct)
+        nf, ns = fv[r].sum(), sv[r].sum()
+        assert nf >= 0.6 * ns, (r, nf, ns)
+        t_f = fts[r][fv[r]]
+        t_s = sts[r][sv[r]]
+        assert abs(t_f.min() - t_s.min()) < 0.2
+        assert abs(t_f.max() - t_s.max()) < 0.5
+
+    # first-hit distances agree
+    f_fod = np.asarray(fast.first_oct_dis)
+    s_fod = np.asarray(scan.first_oct_dis)
+    both = (f_fod < 1e8) & (s_fod < 1e8)
+    np.testing.assert_allclose(f_fod[both], s_fod[both], rtol=1e-3, atol=1e-3)
+
+
+def test_fast_march_sample_spacing(ring_cameras):
+    """Within a leaf, eval-mode (noise=1) spacing matches the entry-point
+    Jacobian step."""
+    tree, oct_dev, rays_o, rays_d = setup(ring_cameras)
+    cfg = SamplerConfig(max_samples=128, sample_l=1.0 / 32, max_hits=32,
+                        ray_chunk=len(ring_cameras[0]))
+    noise = jnp.ones((rays_o.shape[0], cfg.max_samples))
+    s = get_samples_fast(oct_dev, rays_o, rays_d, noise, jnp.asarray(1.0), cfg)
+    valid = np.asarray(s.valid)
+    ts = np.asarray(s.ts)
+    oi = np.asarray(s.oct_idx)
+    r = int(np.argmax(valid.sum(axis=1)))
+    cols = np.where(valid[r])[0]
+    # consecutive samples in the same leaf have constant spacing
+    same = (oi[r, cols[:-1]] == oi[r, cols[1:]])
+    dt = np.diff(ts[r, cols])
+    runs = np.split(dt[same], np.where(np.diff(np.where(same)[0]) > 1)[0] + 1)
+    for run in runs:
+        if len(run) > 1:
+            np.testing.assert_allclose(run, run[0], rtol=1e-3)

@@ -56,7 +56,9 @@ def test_hash_encode_matches_numpy_reference():
 
     got = np.asarray(hash_encode(params, jnp.asarray(pts), jnp.asarray(anchors)))
     want = numpy_hash_encode(params, pts, anchors)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # atol bounded by fp32 ulp of the fine-level scaled coordinates
+    # (pt ~ 1e3 -> frac ulp ~1e-4 -> feature noise ~1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
 def test_hash_encode_invalid_anchor_is_zero():
