@@ -122,14 +122,48 @@ def gf_nerf_tiny_config() -> TrainerConfig:
     return cfg
 
 
+def nerfacto_config() -> TrainerConfig:
+    """Stock nerfacto (proposal sampler + hash field, BASELINE configs[0])."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="nerfacto",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="nerfacto",
+                                       train_num_rays_per_batch=4096),
+    )
+
+
+def vanilla_nerf_config() -> TrainerConfig:
+    """Original NeRF: frequency encoding + coarse/fine MLPs."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="vanilla-nerf",
+        max_num_iterations=100000,
+        steps_per_eval_image=10000,
+        steps_per_save=5000,
+        pipeline=VanillaPipelineConfig(model_kind="vanilla-nerf",
+                                       train_num_rays_per_batch=1024,
+                                       lr_init=5e-4, lr_final=5e-5,
+                                       max_steps=100000),
+    )
+
+
 method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "gf-nerf": gf_nerf_config,
     "gf-nerf-tiny": gf_nerf_tiny_config,
+    "nerfacto": nerfacto_config,
+    "vanilla-nerf": vanilla_nerf_config,
 }
 
 descriptions = {
     "gf-nerf": "Global-guided Focal NeRF (two-stage, TPU-native).",
     "gf-nerf-tiny": "Shrunk gf-nerf for smoke tests.",
+    "nerfacto": "Proposal-sampler + hash-field model (nerfstudio nerfacto).",
+    "vanilla-nerf": "Original NeRF (frequency encoding, coarse/fine MLPs).",
 }
 
 

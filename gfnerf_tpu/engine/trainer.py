@@ -78,9 +78,8 @@ class Trainer:
         os.makedirs(self.base_dir, exist_ok=True)
         self.checkpoint_dir = self.base_dir / "nerfstudio_models"
 
-        self.pipeline = GFNerfPipeline(cfg.pipeline, self.dataparser,
-                                       base_dir=self.base_dir,
-                                       test_mode=test_mode)
+        self.pipeline = cfg.pipeline.build(self.dataparser, self.base_dir,
+                                           test_mode)
         self.writer = EventWriter(cfg.vis, self.base_dir,
                                   steps_per_log=cfg.steps_per_log)
         from gfnerf_tpu.configs.config_io import config_to_yaml
@@ -95,7 +94,10 @@ class Trainer:
 
     def train(self):
         cfg = self.config
-        num_rays = cfg.pipeline.datamanager.train_num_rays_per_batch
+        pcfg = cfg.pipeline
+        num_rays = (pcfg.datamanager.train_num_rays_per_batch
+                    if hasattr(pcfg, "datamanager")
+                    else pcfg.train_num_rays_per_batch)
         t_start = time.perf_counter()
         for step in range(self._start_step, cfg.max_num_iterations):
             with TimeWriter(None, ITER_TRAIN_TIME, step) as t:
@@ -130,90 +132,20 @@ class Trainer:
 
     def save_checkpoint(self, step: int):
         """trainer.py:351-379: step-{:09d} dirs, pruned to latest."""
-        import orbax.checkpoint as ocp
-
         ckpt_dir = self.checkpoint_dir / f"step-{step:09d}"
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
-        p = self.pipeline
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(
-            (ckpt_dir / "state").absolute(),
-            {"params": p.state.params, "opt_state": p.state.opt_state,
-             "step": p.state.step, "statics": p.statics},
-        )
-        t = p.sampler.tree
-        np.savez(
-            ckpt_dir / "octree.npz",
-            centers=t.centers, side_lens=t.side_lens, parents=t.parents,
-            childs=t.childs, is_leaf=t.is_leaf, trans_idx=np.asarray(
-                p.sampler.oct_dev.trans_idx[:t.n_nodes]),
-            block_idx=t.block_idx,
-            weight_stats=np.asarray(p.sampler.oct_dev.weight_stats[:t.n_nodes]),
-            alpha_stats=np.asarray(p.sampler.oct_dev.alpha_stats[:t.n_nodes]),
-            visit_cnt=np.asarray(p.sampler.oct_dev.visit_cnt[:t.n_nodes]),
-            w2xz=t.w2xz, weight=t.weight, t_center=t.t_center,
-            t_dis_summary=t.t_dis_summary, t_side_len=t.t_side_len,
-            milestones=np.asarray(p.sampler.milestones, np.int64),
-            cameras_labels=(p.sampler.cameras_labels
-                            if p.sampler.cameras_labels is not None
-                            else np.array([])),
-            step=step,
-        )
-        meta = {"step": step,
-                "sample_tmp_dir": p.sample_tmp_dir or ""}
-        (ckpt_dir / "meta.json").write_text(json.dumps(meta))
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.pipeline.save_checkpoint_state(ckpt_dir, step)
         if self.config.save_only_latest_checkpoint:
             for other in sorted(self.checkpoint_dir.glob("step-*")):
                 if other != ckpt_dir:
                     shutil.rmtree(other)
 
     def _load_checkpoint(self):
-        import orbax.checkpoint as ocp
-
         load_dir = Path(self.config.load_dir)
         if self.config.load_step is not None:
             ckpt_dir = load_dir / f"step-{self.config.load_step:09d}"
         else:
             ckpt_dir = sorted(load_dir.glob("step-*"))[-1]
-        p = self.pipeline
-        ckptr = ocp.PyTreeCheckpointer()
-        target = {"params": p.state.params, "opt_state": p.state.opt_state,
-                  "step": p.state.step, "statics": p.statics}
-        restored = ckptr.restore((ckpt_dir / "state").absolute(), item=target)
-        from gfnerf_tpu.models.gfnerf import TrainState
-
-        p.state = TrainState(params=restored["params"],
-                             opt_state=restored["opt_state"],
-                             step=restored["step"])
-        p.statics = restored["statics"]
-
-        data = np.load(ckpt_dir / "octree.npz", allow_pickle=True)
-        import dataclasses as dc
-
-        from gfnerf_tpu.sampler.perssampler import octree_to_device
-
-        t = p.sampler.tree
-        p.sampler.tree = dc.replace(
-            t,
-            centers=data["centers"], side_lens=data["side_lens"],
-            parents=data["parents"], childs=data["childs"],
-            is_leaf=data["is_leaf"], trans_idx=data["trans_idx"],
-            block_idx=data["block_idx"],
-            weight_stats=data["weight_stats"].astype(np.int64),
-            alpha_stats=data["alpha_stats"].astype(np.int64),
-            visit_cnt=data["visit_cnt"].astype(np.int64),
-            w2xz=data["w2xz"], weight=data["weight"],
-            t_center=data["t_center"], t_dis_summary=data["t_dis_summary"],
-            t_side_len=data["t_side_len"],
-        )
-        while p.sampler.tree.n_nodes > p.sampler.capacity:
-            p.sampler.capacity *= 2
-        p.sampler.oct_dev = octree_to_device(p.sampler.tree,
-                                             p.sampler.capacity)
-        p.sampler.milestones = list(data["milestones"])
-        labels = data["cameras_labels"]
-        p.sampler.cameras_labels = labels if labels.size else None
-        meta = json.loads((ckpt_dir / "meta.json").read_text())
-        p.sample_tmp_dir = meta["sample_tmp_dir"] or None
-        self._start_step = int(meta["step"]) + 1
+        step = self.pipeline.load_checkpoint_state(ckpt_dir)
+        self._start_step = step + 1
         print(f"[trainer] resumed from {ckpt_dir} at step {self._start_step}")

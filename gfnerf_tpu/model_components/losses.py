@@ -134,3 +134,60 @@ def distortion_loss(weights, spacing_starts, spacing_ends):
                     axis=(-1, -2))
     intra = jnp.sum(weights ** 2 * (spacing_ends - spacing_starts), axis=-1) / 3.0
     return jnp.mean(inter + intra)
+
+
+# --------------------------------------------------- depth / normal losses ----
+
+
+def ds_nerf_depth_loss(weights, termination_depth, steps, lengths,
+                       sigma: float = 0.01):
+    """DS-NeRF depth log-likelihood (losses.py DepthLossType.DS_NERF)."""
+    depth_mask = termination_depth > 0
+    loss = -jnp.log(weights + 1e-7) * jnp.exp(
+        -((steps - termination_depth[:, None]) ** 2) / (2 * sigma)
+    ) * lengths
+    loss = jnp.sum(loss, axis=-1) * depth_mask[..., 0]
+    return jnp.mean(loss)
+
+
+def scale_and_shift_invariant_depth_loss(prediction, target, mask):
+    """MiDaS-style scale/shift-invariant MSE (losses.py:685,
+    ScaleAndShiftInvariantLoss with alpha=0): solve per-image scale+shift in
+    closed form, then masked MSE. prediction/target/mask: (B, H, W)."""
+    a00 = jnp.sum(mask * prediction * prediction, axis=(1, 2))
+    a01 = jnp.sum(mask * prediction, axis=(1, 2))
+    a11 = jnp.sum(mask, axis=(1, 2))
+    b0 = jnp.sum(mask * prediction * target, axis=(1, 2))
+    b1 = jnp.sum(mask * target, axis=(1, 2))
+    det = a00 * a11 - a01 * a01
+    valid = det > 0
+    scale = jnp.where(valid, (a11 * b0 - a01 * b1) / (det + 1e-12), 0.0)
+    shift = jnp.where(valid, (-a01 * b0 + a00 * b1) / (det + 1e-12), 0.0)
+    pred_ssi = scale[:, None, None] * prediction + shift[:, None, None]
+    res = (pred_ssi - target) ** 2 * mask
+    return jnp.sum(res) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def orientation_loss(weights, normals, view_dirs):
+    """mip-NeRF-360 orientation regularizer (losses.py orientation_loss):
+    penalize normals facing away from the camera."""
+    w = jax.lax.stop_gradient(weights)
+    n_dot_v = jnp.sum(normals * -view_dirs[:, None, :], axis=-1)
+    return jnp.mean(jnp.sum(w * jnp.clip(-n_dot_v, 0.0) ** 2, axis=-1))
+
+
+def pred_normal_loss(weights, normals, pred_normals):
+    """Predicted-vs-density-gradient normal consistency (losses.py
+    pred_normal_loss)."""
+    w = jax.lax.stop_gradient(weights)
+    return jnp.mean(jnp.sum(
+        w * (1.0 - jnp.sum(normals * pred_normals, axis=-1)), axis=-1))
+
+
+def tv_edge_loss(field_fn, edge_pts, edge_trans):
+    """Total-variation loss over octree-leaf boundary samples (the reference's
+    GetEdgeSamples mechanism, PersSampler_cuda.cu:479-516): the field should
+    agree when a boundary point is queried through either adjacent warp."""
+    fa = field_fn(edge_pts[:, 0], edge_trans[:, 0])
+    fb = field_fn(edge_pts[:, 1], edge_trans[:, 1])
+    return jnp.mean((fa - fb) ** 2)

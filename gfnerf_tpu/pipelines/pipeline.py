@@ -64,6 +64,9 @@ class GFNerfPipelineConfig:
     camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
     seed: int = 42
 
+    def build(self, dataparser, base_dir, test_mode="train"):
+        return GFNerfPipeline(self, dataparser, base_dir, test_mode)
+
 
 class GFNerfPipeline:
     def __init__(self, config: GFNerfPipelineConfig, dataparser,
@@ -318,6 +321,92 @@ class GFNerfPipeline:
             all_metrics.append(m)
         return {k: float(np.mean([m[k] for m in all_metrics]))
                 for k in all_metrics[0]}
+
+    # ------------------------------------------------------- checkpointing ----
+
+    def save_checkpoint_state(self, ckpt_dir, step: int):
+        """Device state via orbax + host octree/labels/milestones as npz
+        (the reference serializes the same native state through state-dict
+        hooks, SURVEY.md §5)."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = Path(ckpt_dir)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            (ckpt_dir / "state").absolute(),
+            {"params": self.state.params, "opt_state": self.state.opt_state,
+             "step": self.state.step, "statics": self.statics},
+        )
+        t = self.sampler.tree
+        np.savez(
+            ckpt_dir / "octree.npz",
+            centers=t.centers, side_lens=t.side_lens, parents=t.parents,
+            childs=t.childs, is_leaf=t.is_leaf,
+            trans_idx=np.asarray(self.sampler.oct_dev.trans_idx[:t.n_nodes]),
+            block_idx=t.block_idx,
+            weight_stats=np.asarray(
+                self.sampler.oct_dev.weight_stats[:t.n_nodes]),
+            alpha_stats=np.asarray(
+                self.sampler.oct_dev.alpha_stats[:t.n_nodes]),
+            visit_cnt=np.asarray(self.sampler.oct_dev.visit_cnt[:t.n_nodes]),
+            w2xz=t.w2xz, weight=t.weight, t_center=t.t_center,
+            t_dis_summary=t.t_dis_summary, t_side_len=t.t_side_len,
+            milestones=np.asarray(self.sampler.milestones, np.int64),
+            cameras_labels=(self.sampler.cameras_labels
+                            if self.sampler.cameras_labels is not None
+                            else np.array([])),
+            step=step,
+        )
+        (ckpt_dir / "meta.json").write_text(json.dumps(
+            {"step": step, "sample_tmp_dir": self.sample_tmp_dir or ""}))
+
+    def load_checkpoint_state(self, ckpt_dir) -> int:
+        import dataclasses as dc
+        import json
+
+        import orbax.checkpoint as ocp
+
+        from gfnerf_tpu.models.gfnerf import TrainState
+        from gfnerf_tpu.sampler.perssampler import octree_to_device
+
+        ckpt_dir = Path(ckpt_dir)
+        ckptr = ocp.PyTreeCheckpointer()
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step, "statics": self.statics}
+        restored = ckptr.restore((ckpt_dir / "state").absolute(), item=target)
+        self.state = TrainState(params=restored["params"],
+                                opt_state=restored["opt_state"],
+                                step=restored["step"])
+        self.statics = restored["statics"]
+
+        data = np.load(ckpt_dir / "octree.npz", allow_pickle=True)
+        self.sampler.tree = dc.replace(
+            self.sampler.tree,
+            centers=data["centers"], side_lens=data["side_lens"],
+            parents=data["parents"], childs=data["childs"],
+            is_leaf=data["is_leaf"], trans_idx=data["trans_idx"],
+            block_idx=data["block_idx"],
+            weight_stats=data["weight_stats"].astype(np.int64),
+            alpha_stats=data["alpha_stats"].astype(np.int64),
+            visit_cnt=data["visit_cnt"].astype(np.int64),
+            w2xz=data["w2xz"], weight=data["weight"],
+            t_center=data["t_center"], t_dis_summary=data["t_dis_summary"],
+            t_side_len=data["t_side_len"],
+        )
+        while self.sampler.tree.n_nodes > self.sampler.capacity:
+            self.sampler.capacity *= 2
+        self.sampler.oct_dev = octree_to_device(self.sampler.tree,
+                                                self.sampler.capacity)
+        self.sampler.milestones = list(data["milestones"])
+        labels = data["cameras_labels"]
+        self.sampler.cameras_labels = labels if labels.size else None
+        meta = json.loads((ckpt_dir / "meta.json").read_text())
+        self.sample_tmp_dir = meta["sample_tmp_dir"] or None
+        return int(meta["step"])
+
 
 
 def compute_ssim(a: np.ndarray, b: np.ndarray) -> float:

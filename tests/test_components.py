@@ -1,0 +1,180 @@
+"""Unit tests for framework components: samplers, colliders, camera
+optimizer Lie maps, schedulers, config IO, COLMAP conversion, exporters."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_spaced_sampler_statistics():
+    """Uniform sampler covers [near, far] evenly (reference
+    tests/model_components/test_ray_sampler.py pattern)."""
+    from gfnerf_tpu.model_components.ray_samplers import spaced_sample
+
+    nears = jnp.full((4, 1), 1.0)
+    fars = jnp.full((4, 1), 5.0)
+    bs, be, ss, se = spaced_sample(None, nears, fars, 32,
+                                   train_stratified=False)
+    assert float(bs.min()) >= 1.0 - 1e-5
+    assert float(be.max()) <= 5.0 + 1e-5
+    widths = np.asarray(be - bs)
+    np.testing.assert_allclose(widths, widths[0, 0], rtol=1e-4)
+
+    # lindisp: more samples near the camera
+    bs2, be2, _, _ = spaced_sample(None, nears, fars, 32, spacing="lindisp",
+                                   train_stratified=False)
+    w2 = np.asarray(be2 - bs2)[0]
+    assert w2[0] < w2[-1]
+
+
+def test_pdf_sampler_concentrates_on_peak():
+    from gfnerf_tpu.model_components.ray_samplers import (
+        pdf_sample, spaced_sample)
+
+    nears = jnp.zeros((2, 1))
+    fars = jnp.ones((2, 1))
+    _, _, ss, se = spaced_sample(None, nears, fars, 64,
+                                 train_stratified=False)
+    weights = jnp.zeros((2, 64)).at[:, 30:34].set(10.0)
+    s2, e2 = pdf_sample(jax.random.PRNGKey(0), ss, se, weights, 32)
+    mid = np.asarray((s2 + e2) / 2)
+    frac_near_peak = ((mid > 0.4) & (mid < 0.6)).mean()
+    assert frac_near_peak > 0.8
+
+
+def test_colliders():
+    from gfnerf_tpu.model_components.scene_colliders import (
+        aabb_collider, near_far_collider, sphere_collider)
+
+    o = jnp.array([[0.0, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    n, f = near_far_collider(o, d, 0.1, 10.0)
+    assert abs(float(n[0, 0]) - 0.1) < 1e-6 and float(f[0, 0]) == 10.0
+    aabb = jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    n, f = aabb_collider(o, d, aabb)
+    np.testing.assert_allclose([float(n[0, 0]), float(f[0, 0])], [4.0, 6.0],
+                               atol=1e-5)
+    n, f = sphere_collider(o, d, jnp.zeros(3), 1.0)
+    np.testing.assert_allclose([float(n[0, 0]), float(f[0, 0])], [4.0, 6.0],
+                               atol=1e-5)
+
+
+def test_camera_optimizer_exp_maps():
+    from gfnerf_tpu.cameras.camera_optimizers import (
+        CameraOptimizerConfig, apply_to_rays, exp_map_se3, exp_map_so3,
+        init_pose_adjustment)
+
+    # zero tangent -> identity
+    R = np.asarray(exp_map_so3(jnp.zeros((1, 3))))[0]
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
+    # 90 deg about z
+    R = np.asarray(exp_map_so3(jnp.array([[0.0, 0.0, np.pi / 2]])))[0]
+    np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+    R, t = exp_map_se3(jnp.array([[1.0, 0, 0, 0, 0, 0]]))
+    np.testing.assert_allclose(np.asarray(t)[0], [1, 0, 0], atol=1e-6)
+
+    cfg = CameraOptimizerConfig(mode="SO3xR3")
+    adj = init_pose_adjustment(2).at[1, 0].set(0.5)
+    o = jnp.zeros((2, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+    no, nd = apply_to_rays(cfg, adj, jnp.array([0, 1]), o, d)
+    np.testing.assert_allclose(np.asarray(no)[1], [0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nd), np.asarray(d), atol=1e-6)
+
+
+def test_gfnerf_scheduler_restarts():
+    """LR decays over init then restarts at each focal split
+    (schedulers.py:163-171)."""
+    from gfnerf_tpu.engine.schedulers import (
+        GFNerfExponentialDecaySchedulerConfig,
+        gfnerf_exponential_decay_schedule)
+
+    cfg = GFNerfExponentialDecaySchedulerConfig(
+        lr_final=1e-4, max_steps=100, steps_perssampler_init=100,
+        steps_per_split_dataset=50, n_split_dataset=2)
+    sched = sched = gfnerf_exponential_decay_schedule(cfg, 1e-2)
+    assert abs(float(sched(0)) - 1e-2) < 1e-6
+    assert abs(float(sched(100)) - 1e-2) < 1e-6   # restart at split 0 start
+    assert float(sched(149)) < float(sched(100))  # decays within split
+    assert abs(float(sched(150)) - 1e-2) < 1e-6   # restart at split 1
+
+
+def test_config_yaml_roundtrip():
+    from gfnerf_tpu.configs.config_io import (apply_override,
+                                              config_from_yaml,
+                                              config_to_yaml)
+    from gfnerf_tpu.configs.method_configs import gf_nerf_tiny_config
+
+    cfg = gf_nerf_tiny_config()
+    text = config_to_yaml(cfg)
+    cfg2 = config_from_yaml(text)
+    assert cfg2.method_name == cfg.method_name
+    assert cfg2.pipeline.model.n_blocks == cfg.pipeline.model.n_blocks
+    assert cfg2.pipeline.sampler.sample_l == cfg.pipeline.sampler.sample_l
+
+    apply_override(cfg2, "pipeline.model.n_blocks", "5")
+    assert cfg2.pipeline.model.n_blocks == 5
+    apply_override(cfg2, "max-num-iterations", "77")
+    assert cfg2.max_num_iterations == 77
+
+
+def test_colmap_roundtrip(tmp_path):
+    """Write a tiny COLMAP text model, convert, parse with the dataparser."""
+    from gfnerf_tpu.process_data.colmap_utils import colmap_to_json
+
+    model = tmp_path / "sparse"
+    model.mkdir()
+    (model / "cameras.txt").write_text(
+        "# cameras\n1 PINHOLE 64 48 60.0 60.0 32.0 24.0\n")
+    lines = ["# images"]
+    for i in range(3):
+        # identity quaternion, camera at (i, 0, 0)
+        lines.append(f"{i+1} 1 0 0 0 {float(i)} 0 0 1 img_{i}.png")
+        lines.append("")  # empty points2D line
+    (model / "images.txt").write_text("\n".join(lines) + "\n")
+    n = colmap_to_json(model, tmp_path)
+    assert n == 3
+    data = json.loads((tmp_path / "transforms.json").read_text())
+    assert len(data["frames"]) == 3
+    assert data["frames"][0]["fl_x"] == 60.0
+    m = np.array(data["frames"][1]["transform_matrix"])
+    assert m.shape == (4, 4)
+    # camera center magnitude preserved by the convention change
+    assert abs(np.linalg.norm(m[:3, 3]) - 1.0) < 1e-6
+
+
+def test_ply_writer(tmp_path):
+    from gfnerf_tpu.exporter.exporter import write_ply
+
+    pts = np.random.rand(10, 3).astype(np.float32)
+    cols = np.random.rand(10, 3).astype(np.float32)
+    path = tmp_path / "test.ply"
+    write_ply(path, pts, colors=cols)
+    header = path.read_bytes()[:200].decode(errors="ignore")
+    assert "element vertex 10" in header
+    assert "property uchar red" in header
+
+
+def test_nerf_frequency_encoding():
+    from gfnerf_tpu.fields.encodings import nerf_frequency_encode
+
+    x = jnp.array([[0.5, 0.25, 0.0]])
+    enc = nerf_frequency_encode(x, num_frequencies=4, max_freq_exp=3,
+                                include_input=True)
+    assert enc.shape == (1, 3 + 3 * 4 * 2)
+    assert np.isfinite(np.asarray(enc)).all()
+
+
+def test_scene_contraction():
+    from gfnerf_tpu.model_components.spatial_distortions import (
+        scene_contraction)
+
+    inside = jnp.array([[0.5, 0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(scene_contraction(inside)),
+                               np.asarray(inside), atol=1e-6)
+    far = jnp.array([[100.0, 0.0, 0.0]])
+    out = np.asarray(scene_contraction(far))
+    assert np.abs(out).max() < 2.0
+    assert out[0, 0] > 1.9
