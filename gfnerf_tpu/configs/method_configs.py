@@ -122,6 +122,21 @@ def gf_nerf_tiny_config() -> TrainerConfig:
     return cfg
 
 
+def gf_nerf_perf_config() -> TrainerConfig:
+    """Throughput-tuned gf-nerf: same table capacity reorganized as 8 levels
+    x 4 channels (hash lookup rows are the TPU cost currency, PERF_NOTES.md),
+    tighter compaction budget. Quality to be validated against the parity
+    config; use gf-nerf for paper-faithful hyperparameters."""
+    cfg = gf_nerf_config()
+    cfg.method_name = "gf-nerf-perf"
+    p = cfg.pipeline
+    p.field_num_levels = 8
+    p.field_features_per_level = 4
+    p.model.samples_budget_per_ray = 160
+    p.sampler.max_samples = 512
+    return cfg
+
+
 def nerfacto_config() -> TrainerConfig:
     """Stock nerfacto (proposal sampler + hash field, BASELINE configs[0])."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -155,6 +170,7 @@ def vanilla_nerf_config() -> TrainerConfig:
 method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "gf-nerf": gf_nerf_config,
     "gf-nerf-tiny": gf_nerf_tiny_config,
+    "gf-nerf-perf": gf_nerf_perf_config,
     "nerfacto": nerfacto_config,
     "vanilla-nerf": vanilla_nerf_config,
 }
@@ -162,6 +178,7 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
 descriptions = {
     "gf-nerf": "Global-guided Focal NeRF (two-stage, TPU-native).",
     "gf-nerf-tiny": "Shrunk gf-nerf for smoke tests.",
+    "gf-nerf-perf": "Throughput-tuned gf-nerf (8 levels x 4 channels).",
     "nerfacto": "Proposal-sampler + hash-field model (nerfstudio nerfacto).",
     "vanilla-nerf": "Original NeRF (frequency encoding, coarse/fine MLPs).",
 }

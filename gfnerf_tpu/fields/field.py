@@ -69,6 +69,7 @@ class FieldConfig:
     use_appearance_embedding: bool = True
     log2_hashmap_size: int = 21
     num_levels: int = N_LEVELS
+    features_per_level: int = N_CHANNELS
     n_blocks: int = 10
     n_volumes: int = 1
     use_semantics: bool = False
@@ -101,13 +102,14 @@ class FieldStatics:
 def init_field_params(cfg: FieldConfig, seed: int = 0):
     """Returns (FieldParams, FieldStatics)."""
     rng = np.random.default_rng(seed)
-    feat_in = cfg.num_levels * N_CHANNELS
+    feat_in = cfg.num_levels * cfg.features_per_level
 
     g = init_hash_params(
         seed=int(rng.integers(1 << 31)),
         log2_table_size=cfg.log2_hashmap_size,
         n_volumes=cfg.n_volumes,
         n_levels=cfg.num_levels,
+        n_channels=cfg.features_per_level,
         init_mode="reset",  # reference resets the global table (nerfacto_field.py:200)
     )
     if cfg.n_blocks > 0:
@@ -117,6 +119,7 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
                 log2_table_size=cfg.log2_hashmap_size,
                 n_volumes=cfg.n_volumes,
                 n_levels=cfg.num_levels,
+                n_channels=cfg.features_per_level,
                 init_mode="zero",  # residual tables start at zero (nerfacto_field.py:345)
             )
             for _ in range(cfg.n_blocks)

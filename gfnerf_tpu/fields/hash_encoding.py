@@ -296,7 +296,7 @@ def _hes_fwd(feat_pool, prim_pool, bias_pool, points, anchors):
 def _hes_bwd(res, g):
     feat_shape, prim_pool, bias_pool, points, anchors = res
     n_levels, local_size, n_channels = feat_shape
-    assert n_channels == 2, "sorted bwd packs exactly 2 channels"
+    assert n_channels % 2 == 0, "sorted bwd packs bf16 channel pairs"
     n_volumes = prim_pool.shape[1]
     p_count = points.shape[0]
     valid = (anchors >= 0).astype(points.dtype)
@@ -304,21 +304,27 @@ def _hes_bwd(res, g):
     scales = jnp.asarray(_level_scales(n_levels))
     g = g.reshape(p_count, n_levels, n_channels)
     k8 = p_count * 8
+    n_pairs = n_channels // 2
 
     def level_fn(carry, xs):
         prim_l, bias_l, scale_l, g_l = xs
         idx, w = _corner_data((local_size,), prim_l, bias_l, scale_l,
                               points, vol, valid)
-        wv0 = (w * g_l[:, 0:1]).reshape(-1)         # (K8,)
-        wv1 = (w * g_l[:, 1:2]).reshape(-1)
-        # pack 2 channels as bf16 pairs in one f32 payload
-        packed = jax.lax.bitcast_convert_type(
-            jnp.stack([wv0.astype(jnp.bfloat16),
-                       wv1.astype(jnp.bfloat16)], -1), jnp.float32)
-        skeys, spacked = jax.lax.sort((idx.reshape(-1), packed),
-                                      dimension=0, num_keys=1)
-        sv = jax.lax.bitcast_convert_type(spacked, jnp.bfloat16)  # (K8, 2)
-        prefix = jnp.cumsum(sv.astype(jnp.float32), axis=0)       # (K8, 2)
+        # weighted grads per channel, packed as bf16 pairs into f32 payloads
+        payloads = []
+        for p2 in range(n_pairs):
+            wv0 = (w * g_l[:, 2 * p2: 2 * p2 + 1]).reshape(-1)
+            wv1 = (w * g_l[:, 2 * p2 + 1: 2 * p2 + 2]).reshape(-1)
+            payloads.append(jax.lax.bitcast_convert_type(
+                jnp.stack([wv0.astype(jnp.bfloat16),
+                           wv1.astype(jnp.bfloat16)], -1), jnp.float32))
+        sorted_ops = jax.lax.sort((idx.reshape(-1), *payloads),
+                                  dimension=0, num_keys=1)
+        skeys = sorted_ops[0]
+        sv = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(sp, jnp.bfloat16)
+             for sp in sorted_ops[1:]], axis=-1)   # (K8, C)
+        prefix = jnp.cumsum(sv.astype(jnp.float32), axis=0)       # (K8, C)
         is_end = jnp.concatenate(
             [skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
         pos1 = jnp.arange(1, k8 + 1, dtype=jnp.int32)

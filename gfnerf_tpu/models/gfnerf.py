@@ -175,10 +175,17 @@ def model_forward(
                                samples.trans_idx.shape)
         heads = field_rgb(params, field_cfg, dirs, geo, rel, stage)
 
-    weights, alphas, trans = get_weights_f2nerf(samples.dists, density)
-    rgb = render_rgb(weights, heads["rgb"], model_cfg.background_color)
-    acc = render_accumulation(weights)
-    depth = render_expected_depth(weights, samples.ts) / model_cfg.scale_factor
+    # fused Pallas compositing (weights + alphas + rgb + acc + depth in one
+    # VMEM pass); falls back to the jnp path off-TPU or on unsupported shapes
+    from gfnerf_tpu.ops.pallas.composite import fused_composite
+
+    weights, alphas, rgb, acc, depth = fused_composite(
+        density, samples.dists, samples.ts, heads["rgb"])
+    if model_cfg.background_color == "white":
+        rgb = rgb + (1.0 - acc)
+    elif model_cfg.background_color == "last_sample":
+        rgb = rgb + (1.0 - acc) * heads["rgb"][..., -1, :]
+    depth = depth / model_cfg.scale_factor
     oct_depth = samples.first_oct_dis[:, None] / model_cfg.scale_factor
 
     out = {

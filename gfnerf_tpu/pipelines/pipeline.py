@@ -57,6 +57,7 @@ class GFNerfPipelineConfig:
         default_factory=OptimizersConfig)
     field_log2_hashmap_size: int = 21
     field_num_levels: int = 16
+    field_features_per_level: int = 2
     field_hidden_dim: int = 128
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
@@ -106,6 +107,7 @@ class GFNerfPipeline:
             hidden_dim_color=config.field_hidden_dim_color,
             log2_hashmap_size=config.field_log2_hashmap_size,
             num_levels=config.field_num_levels,
+            features_per_level=config.field_features_per_level,
             n_blocks=mcfg.n_blocks,
             n_volumes=self.sampler.n_volumes,
             use_appearance_embedding=config.use_appearance_embedding,

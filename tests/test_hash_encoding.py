@@ -91,3 +91,27 @@ def test_anchored_decorrelation():
     out0 = np.asarray(hash_encode(params, pts, jnp.zeros(8, jnp.int32)))
     out1 = np.asarray(hash_encode(params, pts, jnp.ones(8, jnp.int32)))
     assert not np.allclose(out0, out1)
+
+
+def test_sorted_bwd_matches_autodiff_c2_and_c4():
+    """The sorted custom-VJP backward equals XLA autodiff scatter (to bf16
+    packing precision) for both 2 and 4 channels per level."""
+    from gfnerf_tpu.fields.hash_encoding import (hash_encode_raw,
+                                                 hash_encode_sorted)
+
+    for n_channels in (2, 4):
+        params = init_hash_params(seed=0, log2_table_size=10, n_volumes=2,
+                                  n_levels=4, n_channels=n_channels)
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.random((200, 3)), jnp.float32)
+        anc = jnp.asarray(rng.integers(-1, 2, 200), jnp.int32)
+
+        g_ref = jax.grad(lambda f: (hash_encode_raw(
+            f, params.prim_pool, params.bias_pool, pts, anc) ** 2).sum())(
+                params.feat_pool)
+        g_new = jax.grad(lambda f: (hash_encode_sorted(
+            f, params.prim_pool, params.bias_pool, pts, anc) ** 2).sum())(
+                params.feat_pool)
+        denom = float(jnp.abs(g_ref).max()) + 1e-9
+        rel = float(jnp.abs(g_ref - g_new).max()) / denom
+        assert rel < 0.02, (n_channels, rel)
