@@ -29,7 +29,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer
+    from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer, optimizer_arg
     from gfnerf_tpu.fields.field import STAGE_INIT, FieldConfig, init_field_params
     from gfnerf_tpu.models.gfnerf import (
         GFNeRFModelConfig,
@@ -65,7 +65,7 @@ def main():
     params, statics = init_field_params(fcfg, seed=0)
     ocfg = OptimizersConfig()
     tx = build_optimizer(ocfg, params)
-    state = TrainState(params=params, opt_state=tx.init(params),
+    state = TrainState(params=params, opt_state=tx.init(optimizer_arg(params)),
                        step=jnp.asarray(0, jnp.int32))
     step_fn = make_train_step(fcfg, mcfg, scfg, tx, STAGE_INIT)
 

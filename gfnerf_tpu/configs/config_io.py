@@ -63,16 +63,31 @@ def config_from_yaml(text: str) -> Any:
     return _from_plain(yaml.safe_load(text))
 
 
+def _number(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
 def _coerce(value: str, annotation) -> Any:
     origin = get_origin(annotation)
     if origin is not None:
         args = [a for a in get_args(annotation) if a is not type(None)]
-        if origin is tuple or origin is list:
-            elt = args[0] if args else str
-            return type(origin is tuple and () or [])(
-                _coerce(v, elt) for v in value.split(","))
+        if origin in (tuple, list):
+            elt = args[0] if args else None
+            ctor = tuple if origin is tuple else list
+            return ctor(
+                _coerce(v, elt) if elt is not None else _number(v)
+                for v in value.split(","))
         if args:
             return _coerce(value, args[0])
+    if annotation in (tuple, list):
+        ctor = tuple if annotation is tuple else list
+        return ctor(_number(v) for v in value.split(","))
     if annotation in (int, "int"):
         return int(value)
     if annotation in (float, "float"):

@@ -111,6 +111,7 @@ def gf_nerf_tiny_config() -> TrainerConfig:
     p.sampler.node_capacity = 16384
     p.sampler.n_rand_pts = 512
     p.sampler.vis_res_w = 32
+    p.sampler.ray_march_fineness_decay_end_iter = 10
     p.field_log2_hashmap_size = 12
     p.eval_num_rays_per_chunk = 512
     p.optimizers.steps_perssampler_init = 10

@@ -93,7 +93,14 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
         ]
         return optax.chain(*parts)
 
-    labels = field_param_labels(params)
+    # The optimizer runs over (params_without_block_tables, active_table):
+    # only the ACTIVE focal table carries Adam moments (the reference keeps
+    # exactly one block optimizer alive at a time, nerfacto.py:448-489) —
+    # holding moments for all stacked tables would double the largest
+    # parameter group for no reason.
+    params_nb = params.replace(block_feats=None)
+    labels = (field_param_labels(params_nb),
+              "block" if params.block_feats is not None else "fields")
     tx = optax.multi_transform(
         {
             "fields": group(cfg.fields_lr_init),
@@ -103,6 +110,17 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
         labels,
     )
     return optax.apply_if_finite(tx, max_consecutive_errors=10 ** 8)
+
+
+def optimizer_arg(params: FieldParams):
+    """The (params_without_blocks, active_table) pair the optimizer runs on.
+    Uses block 0 as the placeholder slice for state init."""
+    import jax.numpy as jnp
+
+    params_nb = params.replace(block_feats=None)
+    table = (params.block_feats[0] if params.block_feats is not None
+             else jnp.zeros((1, 1, 2)))
+    return (params_nb, table)
 
 
 def mask_frozen_grads(grads: FieldParams, stage: int) -> FieldParams:

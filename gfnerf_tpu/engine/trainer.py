@@ -125,7 +125,16 @@ class Trainer:
                 self.pipeline.get_eval_image_metrics_and_images(step))
             self.writer.put_dict(
                 {f"Eval Images/{k}": v for k, v in metrics.items()}, step)
+            from gfnerf_tpu.utils.colormaps import apply_depth_colormap
+
             for name, img in images.items():
+                if name == "depth":
+                    img = apply_depth_colormap(
+                        img, images.get("accumulation"))
+                elif name == "accumulation":
+                    from gfnerf_tpu.utils.colormaps import apply_colormap
+
+                    img = apply_colormap(img)
                 self.writer.put_image(f"Eval Images/{name}", img, step)
 
     # ---------------------------------------------------------- checkpoint ----

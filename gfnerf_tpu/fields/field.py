@@ -172,10 +172,17 @@ def field_density(
     anchors: jnp.ndarray,    # (...,) int32 trans_idx, -1 invalid
     stage: int,              # STAGE_INIT | STAGE_BLOCK  (static)
     active_block: jnp.ndarray | int = 0,  # traced scalar, block-stage table index
+    active_table: jnp.ndarray | None = None,  # explicit (L, local, C) table
 ):
     """Density + geometry features.
 
     Returns (density (...,), geo_feat (..., geo_feat_dim)).
+
+    ``active_table``: the focal train step passes the active residual table
+    as its own differentiated argument (so Adam moments exist only for the
+    active block — the reference likewise keeps exactly one block optimizer
+    alive, nerfacto.py:448-489); when None the table is sliced from
+    ``params.block_feats`` (eval/render path).
     """
     lead_shape = anchors.shape
     pts = ((warp_pts + 1.5) / 3.0).reshape(-1, 3)  # nerfacto_field.py:431
@@ -191,8 +198,10 @@ def field_density(
         # Global branch frozen in focal stage (nerfacto_field.py:460-461);
         # stop_gradient additionally prunes its (large) backward scatter.
         feats = jax.lax.stop_gradient(feats)
+        table = (active_table if active_table is not None
+                 else params.block_feats[active_block])
         feats = feats + hash_encode_sorted(
-            params.block_feats[active_block],
+            table,
             statics.block_prims[active_block],
             statics.block_biases[active_block],
             pts, anc,

@@ -118,6 +118,7 @@ def model_forward(
     active_block,
     oct_dev: Optional[OctreeDevice] = None,
     warp_deferred: bool = False,
+    active_table=None,
 ):
     """Field + compositing for one ray batch (GFNeRFModel.get_outputs,
     nerfacto.py:522-619).
@@ -146,7 +147,8 @@ def model_forward(
         else:
             warp_k = samples.warp_pts.reshape(-1, 3)[safe]
         density_k, geo_k = field_density(
-            params, statics, field_cfg, warp_k, anc_k, stage, active_block)
+            params, statics, field_cfg, warp_k, anc_k, stage, active_block,
+            active_table=active_table)
         ray_k = safe // s
         heads_k = field_rgb(params, field_cfg, rays_d[ray_k], geo_k,
                             rel_camera_indices[ray_k], stage)
@@ -168,7 +170,7 @@ def model_forward(
             warp = samples.warp_pts
         density, geo = field_density(
             params, statics, field_cfg, warp, samples.trans_idx,
-            stage, active_block,
+            stage, active_block, active_table=active_table,
         )
         dirs = jnp.broadcast_to(rays_d[:, None, :], samples.world_pts.shape)
         rel = jnp.broadcast_to(rel_camera_indices[:, None],
@@ -230,12 +232,20 @@ def make_train_step(
         deferred = sampler_cfg.march == "fast"
 
         target = batch["image"]
+        params_nb = state.params.replace(block_feats=None)
+        if state.params.block_feats is not None:
+            active_table = state.params.block_feats[active_block]
+        else:
+            active_table = jnp.zeros((1, 1, 2))
 
-        def loss_fn(params):
+        def loss_fn(params, active_table):
             out = model_forward(
                 params, statics, field_cfg, model_cfg, samples,
                 rays["directions"], batch["rel_camera_indices"],
                 stage, active_block, oct_dev=oct_dev, warp_deferred=deferred,
+                active_table=(active_table
+                              if state.params.block_feats is not None
+                              else None),
             )
             if model_cfg.use_ch_loss:
                 rgb_loss = charbonnier_loss(out["rgb"], target)
@@ -254,10 +264,20 @@ def make_train_step(
             return total, (losses, out)
 
         (total, (losses, out)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        grads = mask_frozen_grads(grads, stage)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            loss_fn, argnums=(0, 1), has_aux=True)(params_nb, active_table)
+        grads_nb = mask_frozen_grads(grads[0], stage)
+        grad_table = grads[1]
+        updates, opt_state = tx.update((grads_nb, grad_table),
+                                       state.opt_state,
+                                       (params_nb, active_table))
+        params_nb, active_table = optax.apply_updates(
+            (params_nb, active_table), updates)
+        if state.params.block_feats is not None:
+            block_feats = state.params.block_feats.at[active_block].set(
+                active_table)
+        else:
+            block_feats = None
+        params = params_nb.replace(block_feats=block_feats)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
 

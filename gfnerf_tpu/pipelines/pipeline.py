@@ -28,7 +28,8 @@ import numpy as np
 
 from gfnerf_tpu.cameras.cameras import get_image_coords
 from gfnerf_tpu.data.datamanager import GFNerfDataManager, GFNerfDataManagerConfig
-from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer
+from gfnerf_tpu.engine.optimizers import (OptimizersConfig, build_optimizer,
+                                          optimizer_arg)
 from gfnerf_tpu.fields.field import (
     STAGE_BLOCK,
     STAGE_INIT,
@@ -126,9 +127,10 @@ class GFNerfPipeline:
         )
         self.state = TrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(optimizer_arg(params)),
             step=jnp.asarray(0, jnp.int32),
         )
+        self._last_split_idx = -1
 
         self.cameras_dev = cams.to_device()
         scfg = self.sampler.sampler_config
@@ -192,10 +194,17 @@ class GFNerfPipeline:
             self.sampler.train_cameras_clustering(mcfg.n_blocks)
             self.sampler.update_block_idxs(self.block_centers)
         if self.stage_of(step) == STAGE_BLOCK:
+            cur = self.sampler.cur_split_idx(step)
+            if cur != self._last_split_idx:
+                # fresh block optimizer at each split activation, matching
+                # the reference's add_optimizer/delete_optimizer swap
+                # (nerfacto.py:448-489); fields/global are frozen from here
+                # on, so re-initializing the whole optax state is exact.
+                self.state = self.state.replace(
+                    opt_state=self.tx.init(optimizer_arg(self.state.params)))
+                self._last_split_idx = cur
             self.datamanager.setup_train_split_oct(
-                self.sampler.cameras_labels,
-                self.sampler.cur_split_idx(step),
-                self.sample_tmp_dir,
+                self.sampler.cameras_labels, cur, self.sample_tmp_dir,
             )
 
     # ----------------------------------------------------------- rendering ----

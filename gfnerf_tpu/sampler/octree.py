@@ -618,3 +618,34 @@ def update_block_idxs(tree: PersOctree, block_centers: np.ndarray) -> None:
         tree.centers[:, None, :] - block_centers[None, :, :], axis=-1
     )
     tree.block_idx = np.argmin(d, axis=1).astype(np.int32)
+
+
+# ------------------------------------------------------------- debug viz ----
+
+
+def vis_octree_obj(tree: PersOctree, output_path) -> None:
+    """Wireframe .obj dump of the octree (PersSampler::VisOctree,
+    PersSampler.cpp:478-514; python twin persoctree.py:314-335)."""
+    with open(output_path, "w") as f:
+        for i in range(tree.n_nodes):
+            for st in range(8):
+                off = np.array([(st >> 2 & 1) - 0.5, (st >> 1 & 1) - 0.5,
+                                (st & 1) - 0.5])
+                xyz = tree.centers[i] + off * tree.side_lens[i]
+                f.write(f"v {xyz[0]} {xyz[1]} {xyz[2]}\n")
+        for i in range(tree.n_nodes):
+            if not tree.is_leaf[i]:
+                continue
+            for a in range(8):
+                for b in range(a + 1, 8):
+                    st = a ^ b
+                    if st in (1, 2, 4):
+                        f.write(f"l {i * 8 + a + 1} {i * 8 + b + 1}\n")
+
+
+def vis_cameras_obj(c2w: np.ndarray, output_path) -> None:
+    """Camera-position point dump (persoctree.py:337-342)."""
+    with open(output_path, "w") as f:
+        for i in range(len(c2w)):
+            pos = c2w[i, :, 3]
+            f.write(f"v {pos[0]} {pos[1]} {pos[2]}\n")

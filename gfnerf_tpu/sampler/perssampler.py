@@ -419,3 +419,28 @@ def ray_march_fineness(cur_step: int, init_fineness: float = 16.0,
         return 1.0
     progress = float(cur_step) / float(decay_end_iter)
     return float(np.exp(np.log(init_fineness) * (1.0 - progress)))
+
+
+def get_edge_samples(rng, edge_t_idx: jnp.ndarray, edge_center: jnp.ndarray,
+                     edge_dirs: jnp.ndarray, n_pts: int):
+    """Sample points on octree-leaf boundary faces for the TV loss.
+
+    Port of ``PersSampler::GetEdgeSamples`` (PersSampler_cuda.cu:479-516):
+    random face-adjacency edges, random (u, v) in [-1, 1]^2 on the shared
+    face, returning each point twice with the two adjacent warp anchors.
+
+    edge arrays come from the host octree builder (construct_edge_pool).
+    Returns (points (n_pts, 2, 3) world space, trans (n_pts, 2) int32).
+    """
+    import jax
+
+    n_edges = edge_t_idx.shape[0]
+    k1, k2 = jax.random.split(rng)
+    eidx = jax.random.randint(k1, (n_pts,), 0, jnp.maximum(n_edges, 1))
+    coord = jax.random.uniform(k2, (n_pts, 2)) * 2.0 - 1.0
+    center = edge_center[eidx]                  # (n, 3)
+    dirs = edge_dirs[eidx]                      # (n, 2, 3)
+    pts = (center + dirs[:, 0] * coord[:, 0:1]
+           + dirs[:, 1] * coord[:, 1:2])
+    pts2 = jnp.stack([pts, pts], axis=1)
+    return pts2, edge_t_idx[eidx]
