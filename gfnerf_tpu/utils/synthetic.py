@@ -59,7 +59,13 @@ def render_spheres(c2w, fx, fy, cx, cy, w, h,
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         o = c2w[i, :3, 3]
         best_t = np.full((h, w), np.inf, np.float32)
-        img = np.zeros((h, w, 3), np.float32)
+        # sky-gradient background: an all-black background makes "predict
+        # black everywhere" a gradient-dead attractor (sigmoid saturates to
+        # exactly 0 and every gradient vanishes) — real captures are never
+        # black, so neither are the fixtures
+        sky_t = np.clip(d[..., 2] * 0.5 + 0.5, 0, 1)
+        img = np.stack([0.35 + 0.25 * sky_t, 0.45 + 0.25 * sky_t,
+                        0.55 + 0.35 * sky_t], axis=-1).astype(np.float32)
         for sx, sy, sz, r, cr, cg, cb in spheres:
             ctr = np.array([sx, sy, sz])
             oc = o - ctr
