@@ -61,7 +61,8 @@ def main():
                          locate_iters=12)
     fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
                        log2_hashmap_size=21, num_levels=16, n_blocks=2)
-    mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0)
+    mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
+                             samples_budget_per_ray=192)
     params, statics = init_field_params(fcfg, seed=0)
     ocfg = OptimizersConfig()
     tx = build_optimizer(ocfg, params)

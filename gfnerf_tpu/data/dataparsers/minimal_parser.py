@@ -56,6 +56,8 @@ class MinimalDataParser(DataParser):
             scene_box=scene_box,
             metadata={
                 "images_array": images,
+                "road_masks_array": (data["road_masks"]
+                                     if "road_masks" in data else None),
                 "bounds": data["bounds"] if "bounds" in data else None,
                 "global_image_indices": list(range(n)),
                 "depth_filenames": None, "normal_filenames": None,

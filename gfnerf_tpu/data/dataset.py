@@ -74,6 +74,9 @@ class InputDataset:
         """Image + side channels for one index (base_dataset.py:105-158)."""
         data = {"image": self.get_image(idx), "image_idx": idx}
         md = self.metadata
+        rma = md.get("road_masks_array")
+        if rma is not None:
+            data["road_mask"] = np.asarray(rma[idx], np.float32)
         gii = md.get("global_image_indices")
         data["rel_camera_idx"] = gii[idx] if gii else idx
         for key, name in (
@@ -135,6 +138,19 @@ class ImageCache:
         self.images = np.stack([d["image"] for d in datas])
         self.rel_camera_idx = np.asarray(
             [d["rel_camera_idx"] for d in datas], np.int32)
+        if any("road_mask" in d for d in datas):
+            h, w = self.images.shape[1:3]
+            ms = []
+            for d in datas:
+                m = d.get("road_mask")
+                if m is None:
+                    m = np.zeros((h, w), np.float32)
+                elif m.ndim == 3:
+                    m = m[..., 0]
+                ms.append(m.astype(np.float32))
+            self.road_masks = np.stack(ms)
+        else:
+            self.road_masks = None
         if any("error_map" in d for d in datas):
             h, w = self.images.shape[1:3]
             ems = []

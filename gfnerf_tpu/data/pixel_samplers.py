@@ -118,7 +118,11 @@ def collate_batch(cache: ImageCache, idx: np.ndarray) -> Dict[str, np.ndarray]:
     rgb = cache.images[ki, yi, xi]
     camera_indices = cache.indices[ki].astype(np.int32)
     rel = cache.rel_camera_idx[ki].astype(np.int32)
+    extra = {}
+    if getattr(cache, "road_masks", None) is not None:
+        extra["semantics"] = cache.road_masks[ki, yi, xi].astype(np.int32)
     return {
+        **extra,
         "indices": idx.astype(np.int32),
         "image": rgb.astype(np.float32),
         "camera_indices": camera_indices,

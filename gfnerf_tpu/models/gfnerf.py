@@ -260,6 +260,17 @@ def make_train_step(
                     repeat_time=model_cfg.s3im_repeat_time,
                     patch_height=model_cfg.s3im_patch_height,
                 )
+            if (model_cfg.use_semantics and "semantics" in out
+                    and "semantics" in batch):
+                # class-weighted CE on rendered semantic logits
+                # (nerfacto.py:676-681)
+                logits = out["semantics"]
+                labels = batch["semantics"]
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ce = -jnp.take_along_axis(
+                    logp, labels[:, None], axis=-1)[:, 0]
+                losses["semantics_loss"] = (
+                    model_cfg.semantic_loss_weight * jnp.mean(ce))
             total = sum(losses.values())
             return total, (losses, out)
 

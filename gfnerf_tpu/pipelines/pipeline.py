@@ -164,6 +164,8 @@ class GFNerfPipeline:
             "coords": jnp.asarray(batch["coords"]),
             "image": jnp.asarray(batch["image"]),
         }
+        if "semantics" in batch:
+            dev_batch["semantics"] = jnp.asarray(batch["semantics"])
         fineness = jnp.asarray(self.sampler.fineness(step), jnp.float32)
         active_block = jnp.asarray(max(self.sampler.cur_split_idx(step), 0),
                                    jnp.int32)

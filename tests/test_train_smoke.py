@@ -67,3 +67,44 @@ def test_train_loop_crosses_stage_transition(synthetic_dataset, tmp_path):
     metrics, images = p.get_eval_image_metrics_and_images(step=16, idx=0)
     assert np.isfinite(metrics["psnr"])
     assert images["img"].shape[1] == 2 * 32  # gt|pred side by side
+
+
+def test_semantic_training_path(tmp_path):
+    """use_semantics: road-mask labels flow from the npz through the cache to
+    a cross-entropy loss term in the train step."""
+    import numpy as np
+
+    from gfnerf_tpu.configs.method_configs import gf_nerf_tiny_config
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.engine.trainer import Trainer
+    from gfnerf_tpu.utils.synthetic import make_synthetic_npz
+
+    path = tmp_path / "scene"
+    make_synthetic_npz(path, n_train=8, n_val=2, img_wh=(24, 16))
+    # add binary road masks to the npz (lower half of each image = class 1)
+    for split in ("train", "val"):
+        d = dict(np.load(path / f"{split}.npz"))
+        n, h, w = d["images"].shape[:3]
+        masks = np.zeros((n, h, w), np.float32)
+        masks[:, h // 2:, :] = 1.0
+        d["road_masks"] = masks
+        np.savez(path / f"{split}.npz", **d)
+
+    cfg = gf_nerf_tiny_config()
+    cfg.max_num_iterations = 3
+    cfg.output_dir = tmp_path / "out"
+    cfg.vis = "local"
+    cfg.data = path
+    cfg.steps_per_save = 10 ** 9
+    cfg.pipeline.datamanager.train_num_rays_per_batch = 64
+    cfg.pipeline.model.use_semantics = True
+    cfg.pipeline.model.semantic_loss_weight = 0.5
+    cfg.pipeline.model.s3im_patch_height = 8
+
+    parser = MinimalDataParser(MinimalDataParserConfig(data=path))
+    trainer = Trainer(cfg, parser)
+    trainer.setup()
+    m = trainer.pipeline.get_train_loss_dict(0)
+    assert "semantics_loss" in m
+    assert np.isfinite(m["semantics_loss"])
