@@ -123,7 +123,10 @@ def generate_rays_multi(
     camera_indices: jnp.ndarray,  # (R,) int32
     coords: jnp.ndarray,          # (R, 2) pixel coords (y, x)
 ):
-    """Vectorized ray generation across per-ray camera indices (pixel-sampler path)."""
+    """Vectorized ray generation across per-ray camera indices (pixel-sampler path).
+
+    Applies OpenCV radial/tangential undistortion when the cameras carry
+    distortion parameters (reference cameras.py:446-462)."""
     c2w = cameras.camera_to_worlds[camera_indices]     # (R, 3, 4)
     fx = cameras.fx[camera_indices]
     fy = cameras.fy[camera_indices]
@@ -131,6 +134,15 @@ def generate_rays_multi(
     cy = cameras.cy[camera_indices]
 
     d_cam = camera_ray_directions(coords, fx, fy, cx, cy)
+    if cameras.distortion_params is not None:
+        from gfnerf_tpu.utils.camera_utils import (
+            radial_and_tangential_undistort_jax)
+
+        dist = cameras.distortion_params[camera_indices]
+        und = radial_and_tangential_undistort_jax(
+            jnp.stack([d_cam[..., 0], -d_cam[..., 1]], -1), dist)
+        d_cam = jnp.stack([und[..., 0], -und[..., 1],
+                           -jnp.ones_like(und[..., 0])], axis=-1)
     d_cam_dx = camera_ray_directions(coords + jnp.array([0.0, 1.0]), fx, fy, cx, cy)
     d_cam_dy = camera_ray_directions(coords + jnp.array([1.0, 0.0]), fx, fy, cx, cy)
 

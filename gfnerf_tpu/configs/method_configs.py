@@ -152,6 +152,20 @@ def nerfacto_config() -> TrainerConfig:
     )
 
 
+def instant_ngp_config() -> TrainerConfig:
+    """Instant-NGP-class model: hash field + occupancy-grid sampling."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="instant-ngp",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="instant-ngp",
+                                       train_num_rays_per_batch=4096),
+    )
+
+
 def vanilla_nerf_config() -> TrainerConfig:
     """Original NeRF: frequency encoding + coarse/fine MLPs."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -173,6 +187,7 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "gf-nerf-tiny": gf_nerf_tiny_config,
     "gf-nerf-perf": gf_nerf_perf_config,
     "nerfacto": nerfacto_config,
+    "instant-ngp": instant_ngp_config,
     "vanilla-nerf": vanilla_nerf_config,
 }
 
@@ -181,6 +196,7 @@ descriptions = {
     "gf-nerf-tiny": "Shrunk gf-nerf for smoke tests.",
     "gf-nerf-perf": "Throughput-tuned gf-nerf (8 levels x 4 channels).",
     "nerfacto": "Proposal-sampler + hash-field model (nerfstudio nerfacto).",
+    "instant-ngp": "Hash field + occupancy-grid sampler (instant-ngp).",
     "vanilla-nerf": "Original NeRF (frequency encoding, coarse/fine MLPs).",
 }
 

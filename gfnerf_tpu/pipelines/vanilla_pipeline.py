@@ -40,6 +40,10 @@ class VanillaPipelineConfig:
         default_factory=nerfacto_mod.NerfactoConfig)
     vanilla: nerfacto_mod.VanillaNerfConfig = dataclasses.field(
         default_factory=nerfacto_mod.VanillaNerfConfig)
+    instant_ngp: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.instant_ngp", fromlist=["InstantNGPConfig"]
+        ).InstantNGPConfig())
 
     def build(self, dataparser, base_dir, test_mode="train"):
         return VanillaPipeline(self, dataparser, base_dir, test_mode)
@@ -52,6 +56,7 @@ class VanillaPipeline:
         self.base_dir = Path(base_dir)
         self.train_outputs = dataparser.get_dataparser_outputs("train")
         self.eval_outputs = dataparser.get_dataparser_outputs("val")
+        self.model_state = None
         self.train_dataset = InputDataset(self.train_outputs)
         self.eval_dataset = InputDataset(self.eval_outputs)
         self.cache = ImageCache(self.train_dataset, seed=config.seed)
@@ -66,17 +71,32 @@ class VanillaPipeline:
                 config.nerfacto, num_images=len(self.train_outputs.cameras))
             params, statics = nerfacto_mod.init_nerfacto_params(
                 mcfg, seed=config.seed)
-            loss_fn = lambda p, rng, o, d, rel, tgt: nerfacto_mod.nerfacto_loss(
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: nerfacto_mod.nerfacto_loss(
                 p, statics, mcfg, rng, o, d, rel, tgt)
-            self._render = lambda p, rng, o, d, rel: nerfacto_mod.nerfacto_forward(
+            self._render = lambda p, ms, rng, o, d, rel: nerfacto_mod.nerfacto_forward(
                 p, statics, mcfg, rng, o, d, rel, train=False)
             self.statics = statics
+        elif kind == "instant-ngp":
+            from gfnerf_tpu.models import instant_ngp as ngp
+
+            mcfg = dataclasses.replace(
+                config.instant_ngp, num_images=len(self.train_outputs.cameras))
+            params, statics, self.model_state = ngp.init_instant_ngp_params(
+                mcfg, seed=config.seed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: ngp.instant_ngp_loss(
+                p, statics, ms, mcfg, rng, o, d, tgt)
+            self._render = lambda p, ms, rng, o, d, rel: ngp.instant_ngp_forward(
+                p, statics, ms, mcfg, rng, o, d, train=False)
+            self.statics = statics
+            self._occ_update = jax.jit(
+                lambda p, ms, rng: ngp.update_occupancy(p, statics, ms, mcfg,
+                                                        rng))
         elif kind == "vanilla-nerf":
             mcfg = config.vanilla
             params = nerfacto_mod.init_vanilla_params(mcfg, seed=config.seed)
-            loss_fn = lambda p, rng, o, d, rel, tgt: nerfacto_mod.vanilla_loss(
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: nerfacto_mod.vanilla_loss(
                 p, mcfg, rng, o, d, tgt)
-            self._render = lambda p, rng, o, d, rel: nerfacto_mod.vanilla_forward(
+            self._render = lambda p, ms, rng, o, d, rel: nerfacto_mod.vanilla_forward(
                 p, mcfg, rng, o, d, train=False)["fine"]
             self.statics = {}
         else:
@@ -92,9 +112,10 @@ class VanillaPipeline:
         self.step_count = jnp.asarray(0, jnp.int32)
 
         @jax.jit
-        def train_step(params, opt_state, rng, o, d, rel, tgt):
+        def train_step(params, model_state, opt_state, rng, o, d, rel, tgt):
             (total, (losses, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, rng, o, d, rel, tgt)
+                loss_fn, has_aux=True)(params, model_state, rng, o, d, rel,
+                                       tgt)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             mse = jnp.mean((out["rgb"] - tgt) ** 2) if isinstance(out, dict) \
@@ -119,8 +140,12 @@ class VanillaPipeline:
             self.cameras_dev, jnp.asarray(batch["camera_indices"]),
             jnp.asarray(batch["coords"]))
         self._rng, key = jax.random.split(self._rng)
+        if self.model_state is not None and step % 16 == 0:
+            self._rng, okey = jax.random.split(self._rng)
+            self.model_state = self._occ_update(self.params,
+                                                self.model_state, okey)
         self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, key,
+            self.params, self.model_state, self.opt_state, key,
             rays["origins"], rays["directions"],
             jnp.asarray(batch["rel_camera_indices"]),
             jnp.asarray(batch["image"]))
@@ -149,7 +174,8 @@ class VanillaPipeline:
                 pad = chunk - (e - s)
                 ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
                 rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
-            out = self._render_jit(self.params, jax.random.PRNGKey(0), ro, rd,
+            out = self._render_jit(self.params, self.model_state,
+                                   jax.random.PRNGKey(0), ro, rd,
                                    jnp.zeros((chunk,), jnp.int32))
             outs.append({k: np.asarray(v)[: e - s] for k, v in out.items()
                          if k in ("rgb", "accumulation", "depth")})

@@ -99,3 +99,35 @@ def auto_orient_and_center_poses(
 
 def get_distortion_params(k1=0.0, k2=0.0, k3=0.0, k4=0.0, p1=0.0, p2=0.0):
     return np.array([k1, k2, k3, k4, p1, p2], dtype=np.float32)
+
+
+def radial_and_tangential_undistort_jax(coords, distortion_params,
+                                        num_iterations: int = 10):
+    """Iterative OpenCV undistortion (nerfstudio camera_utils
+    radial_and_tangential_undistort): given distorted normalized image
+    coords (..., 2) and (k1, k2, k3, k4, p1, p2), solve for the undistorted
+    coords by Newton iteration. jnp, jittable.
+    """
+    import jax.numpy as jnp
+
+    k1, k2, k3, k4 = (distortion_params[..., 0], distortion_params[..., 1],
+                      distortion_params[..., 2], distortion_params[..., 3])
+    p1, p2 = distortion_params[..., 4], distortion_params[..., 5]
+    xd, yd = coords[..., 0], coords[..., 1]
+    x, y = xd, yd
+    for _ in range(num_iterations):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        fx = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) - xd
+        fy = y * radial + 2 * p2 * x * y + p1 * (r2 + 2 * y * y) - yd
+        # jacobian of the distortion model
+        d_radial = k1 + r2 * (2 * k2 + r2 * (3 * k3 + r2 * 4 * k4))
+        fx_x = radial + x * 2 * x * d_radial + 2 * p1 * y + 6 * p2 * x
+        fx_y = x * 2 * y * d_radial + 2 * p1 * x + 2 * p2 * y
+        fy_x = y * 2 * x * d_radial + 2 * p2 * y + 2 * p1 * x
+        fy_y = radial + y * 2 * y * d_radial + 2 * p2 * x + 6 * p1 * y
+        det = fx_x * fy_y - fx_y * fy_x
+        det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        x = x - (fy_y * fx - fx_y * fy) / det
+        y = y - (fx_x * fy - fy_x * fx) / det
+    return jnp.stack([x, y], axis=-1)

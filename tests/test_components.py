@@ -178,3 +178,23 @@ def test_scene_contraction():
     out = np.asarray(scene_contraction(far))
     assert np.abs(out).max() < 2.0
     assert out[0, 0] > 1.9
+
+
+def test_undistortion_roundtrip():
+    """Distort normalized coords with the OpenCV model, undistort, compare."""
+    from gfnerf_tpu.utils.camera_utils import (
+        radial_and_tangential_undistort_jax)
+
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.uniform(-0.4, 0.4, (64, 2)), jnp.float32)
+    params = jnp.tile(jnp.asarray([[0.1, -0.02, 0.0, 0.0, 0.001, -0.002]],
+                                  jnp.float32), (64, 1))
+    x, y = xy[:, 0], xy[:, 1]
+    r2 = x * x + y * y
+    k1, k2, p1, p2 = params[:, 0], params[:, 1], params[:, 4], params[:, 5]
+    radial = 1 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + 2 * p2 * x * y + p1 * (r2 + 2 * y * y)
+    und = radial_and_tangential_undistort_jax(
+        jnp.stack([xd, yd], -1), params)
+    np.testing.assert_allclose(np.asarray(und), np.asarray(xy), atol=1e-5)
