@@ -166,6 +166,37 @@ def instant_ngp_config() -> TrainerConfig:
     )
 
 
+def mipnerf_config() -> TrainerConfig:
+    """mip-NeRF: integrated positional encoding over conical frustums."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="mipnerf",
+        max_num_iterations=100000,
+        steps_per_eval_image=10000,
+        steps_per_save=5000,
+        pipeline=VanillaPipelineConfig(model_kind="mipnerf",
+                                       train_num_rays_per_batch=1024,
+                                       lr_init=5e-4, lr_final=5e-6,
+                                       max_steps=100000),
+    )
+
+
+def tensorf_config() -> TrainerConfig:
+    """TensoRF with vector-matrix factorization."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="tensorf",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="tensorf",
+                                       train_num_rays_per_batch=4096,
+                                       lr_init=2e-2, lr_final=2e-3),
+    )
+
+
 def vanilla_nerf_config() -> TrainerConfig:
     """Original NeRF: frequency encoding + coarse/fine MLPs."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -188,6 +219,8 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "gf-nerf-perf": gf_nerf_perf_config,
     "nerfacto": nerfacto_config,
     "instant-ngp": instant_ngp_config,
+    "mipnerf": mipnerf_config,
+    "tensorf": tensorf_config,
     "vanilla-nerf": vanilla_nerf_config,
 }
 
@@ -197,6 +230,8 @@ descriptions = {
     "gf-nerf-perf": "Throughput-tuned gf-nerf (8 levels x 4 channels).",
     "nerfacto": "Proposal-sampler + hash-field model (nerfstudio nerfacto).",
     "instant-ngp": "Hash field + occupancy-grid sampler (instant-ngp).",
+    "mipnerf": "mip-NeRF (integrated positional encoding, coarse/fine).",
+    "tensorf": "TensoRF (vector-matrix factorized field).",
     "vanilla-nerf": "Original NeRF (frequency encoding, coarse/fine MLPs).",
 }
 

@@ -291,3 +291,143 @@ def vanilla_loss(params, cfg, rng, rays_o, rays_d, target, train=True):
         "rgb_loss_fine": mse_loss(outs["fine"]["rgb"], target),
     }
     return sum(losses.values()), (losses, outs)
+
+
+# ---------------------------------------------------------- depth-nerfacto ----
+
+
+def depth_nerfacto_loss(params, statics, cfg, rng, rays_o, rays_d, rel,
+                        target, depth_gt=None, depth_loss_mult: float = 1e-3,
+                        train=True):
+    """Depth-supervised nerfacto (nerfstudio/models/depth_nerfacto.py):
+    nerfacto losses + DS-NeRF depth likelihood on the termination depth
+    when ground-truth depth rays are provided."""
+    from gfnerf_tpu.model_components.losses import ds_nerf_depth_loss
+
+    total, (losses, out) = nerfacto_loss(params, statics, cfg, rng, rays_o,
+                                         rays_d, rel, target, train)
+    if depth_gt is not None:
+        mid = (out["spacing_starts"] + out["spacing_ends"]) / 2.0
+        lengths = out["spacing_ends"] - out["spacing_starts"]
+        losses["depth_loss"] = depth_loss_mult * ds_nerf_depth_loss(
+            out["weights"], depth_gt, mid, lengths)
+        total = total + losses["depth_loss"]
+    return total, (losses, out)
+
+
+# ------------------------------------------------------------------ mipnerf ----
+
+
+@dataclasses.dataclass
+class MipNerfConfig:
+    near_plane: float = 2.0
+    far_plane: float = 6.0
+    num_coarse_samples: int = 128
+    num_importance_samples: int = 128
+    num_frequencies: int = 16
+    dir_frequencies: int = 4
+    hidden_dim: int = 256
+    background_color: str = "white"
+
+
+def integrated_pos_enc(means, covs_diag, num_frequencies: int):
+    """Integrated positional encoding over gaussian frustum approximations
+    (mip-NeRF eq. 7; nerfstudio encodings.NeRFEncoding with covs):
+    E[sin(2^j x)] = sin(2^j mu) * exp(-0.5 * 4^j * sigma^2)."""
+    freqs = 2.0 ** jnp.arange(num_frequencies)
+    scaled = means[..., None, :] * freqs[:, None]            # (..., F, 3)
+    var = covs_diag[..., None, :] * (freqs[:, None] ** 2)
+    damp = jnp.exp(-0.5 * var)
+    enc = jnp.concatenate([jnp.sin(scaled) * damp,
+                           jnp.cos(scaled) * damp], axis=-1)
+    return enc.reshape(*means.shape[:-1], -1)
+
+
+def conical_frustum_gaussian(rays_o, rays_d, starts, ends, radius):
+    """Mean/diagonal-cov gaussian of a conical frustum (mip-NeRF §3.1)."""
+    mu = (starts + ends) / 2.0
+    hw = (ends - starts) / 2.0
+    common = hw ** 2 / jnp.maximum(3 * mu ** 2 + hw ** 2, 1e-10)
+    t_mean = mu + 2 * mu * common
+    t_var = hw ** 2 / 3 - (4 / 15) * (hw ** 4 * (12 * mu ** 2 - hw ** 2)
+                                      / jnp.maximum(
+                                          (3 * mu ** 2 + hw ** 2) ** 2, 1e-10))
+    r_var = radius[..., None] ** 2 * (
+        mu ** 2 / 4 + (5 / 12) * hw ** 2
+        - (4 / 15) * hw ** 4 / jnp.maximum(3 * mu ** 2 + hw ** 2, 1e-10))
+    means = rays_o[:, None, :] + t_mean[..., None] * rays_d[:, None, :]
+    d2 = rays_d ** 2
+    d2 = d2[:, None, :]
+    d_norm2 = jnp.sum(d2, axis=-1, keepdims=True)
+    covs = (t_var[..., None] * d2
+            + r_var[..., None] * (1.0 - d2 / jnp.maximum(d_norm2, 1e-10)))
+    return means, covs
+
+
+def init_mipnerf_params(cfg: MipNerfConfig, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    pos_dim = 3 * cfg.num_frequencies * 2
+    dir_dim = 3 * cfg.dir_frequencies * 2 + 3
+    # one shared MLP for both levels (mip-NeRF uses a single network)
+    return {
+        "mlp1": init_mlp(rng, pos_dim, cfg.hidden_dim, cfg.hidden_dim, 3),
+        "mlp2": init_mlp(rng, cfg.hidden_dim + pos_dim, cfg.hidden_dim + 1,
+                         cfg.hidden_dim, 3),
+        "head": init_mlp(rng, cfg.hidden_dim + dir_dim, 3,
+                         cfg.hidden_dim // 2, 0),
+    }
+
+
+def _mipnerf_level(params, cfg, rays_o, rays_d, radius, bs, be):
+    means, covs = conical_frustum_gaussian(rays_o, rays_d, bs, be, radius)
+    pe = integrated_pos_enc(means, covs, cfg.num_frequencies)
+    de = nerf_frequency_encode(
+        jnp.broadcast_to(rays_d[:, None, :], means.shape),
+        cfg.dir_frequencies, 0.0, cfg.dir_frequencies - 1, include_input=True)
+    h = jax.nn.relu(apply_mlp(params["mlp1"], pe))
+    h2 = apply_mlp(params["mlp2"], jnp.concatenate([h, pe], -1))
+    density = jax.nn.softplus(h2[..., 0] - 1.0)
+    feat = jax.nn.relu(h2[..., 1:])
+    rgb = apply_mlp(params["head"], jnp.concatenate([feat, de], -1),
+                    output_activation="sigmoid")
+    w, _, _ = get_weights_f2nerf(be - bs, density)
+    mid = (bs + be) / 2.0
+    return {
+        "rgb": render_rgb(w, rgb, cfg.background_color),
+        "accumulation": render_accumulation(w),
+        "depth": render_expected_depth(w, mid),
+        "weights": w,
+    }
+
+
+def mipnerf_forward(params, cfg: MipNerfConfig, rng, rays_o, rays_d,
+                    pixel_area=None, train=True):
+    r = rays_o.shape[0]
+    k1, k2 = (jax.random.split(rng) if rng is not None else (None, None))
+    nears = jnp.full((r, 1), cfg.near_plane)
+    fars = jnp.full((r, 1), cfg.far_plane)
+    radius = (jnp.sqrt(pixel_area[:, 0]) / 1.7320508 if pixel_area is not None
+              else jnp.full((r,), 1e-3))
+    bs, be, ss, se = spaced_sample(k1 if train else None, nears, fars,
+                                   cfg.num_coarse_samples,
+                                   train_stratified=train)
+    coarse = _mipnerf_level(params, cfg, rays_o, rays_d, radius, bs, be)
+    from gfnerf_tpu.model_components.ray_samplers import pdf_sample
+
+    ss2, se2 = pdf_sample(k2 if train else None, ss, se, coarse["weights"],
+                          cfg.num_importance_samples)
+    bs2 = ss2 * fars + (1 - ss2) * nears
+    be2 = se2 * fars + (1 - se2) * nears
+    fine = _mipnerf_level(params, cfg, rays_o, rays_d, radius, bs2, be2)
+    return {"coarse": coarse, "fine": fine}
+
+
+def mipnerf_loss(params, cfg, rng, rays_o, rays_d, target, pixel_area=None,
+                 train=True):
+    outs = mipnerf_forward(params, cfg, rng, rays_o, rays_d, pixel_area,
+                           train)
+    losses = {
+        "rgb_loss_coarse": 0.1 * mse_loss(outs["coarse"]["rgb"], target),
+        "rgb_loss_fine": mse_loss(outs["fine"]["rgb"], target),
+    }
+    return sum(losses.values()), (losses, outs)

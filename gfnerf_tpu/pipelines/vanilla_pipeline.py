@@ -40,6 +40,12 @@ class VanillaPipelineConfig:
         default_factory=nerfacto_mod.NerfactoConfig)
     vanilla: nerfacto_mod.VanillaNerfConfig = dataclasses.field(
         default_factory=nerfacto_mod.VanillaNerfConfig)
+    mipnerf: nerfacto_mod.MipNerfConfig = dataclasses.field(
+        default_factory=nerfacto_mod.MipNerfConfig)
+    tensorf: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.tensorf", fromlist=["TensoRFConfig"]
+        ).TensoRFConfig())
     instant_ngp: "object" = dataclasses.field(
         default_factory=lambda: __import__(
             "gfnerf_tpu.models.instant_ngp", fromlist=["InstantNGPConfig"]
@@ -91,6 +97,25 @@ class VanillaPipeline:
             self._occ_update = jax.jit(
                 lambda p, ms, rng: ngp.update_occupancy(p, statics, ms, mcfg,
                                                         rng))
+        elif kind == "mipnerf":
+            mcfg = config.mipnerf
+            params = nerfacto_mod.init_mipnerf_params(mcfg, seed=config.seed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: nerfacto_mod.mipnerf_loss(
+                p, mcfg, rng, o, d, tgt)
+            self._render = lambda p, ms, rng, o, d, rel: nerfacto_mod.mipnerf_forward(
+                p, mcfg, rng, o, d, train=False)["fine"]
+            self.statics = {}
+        elif kind == "tensorf":
+            from gfnerf_tpu.models import tensorf as trf
+
+            mcfg = dataclasses.replace(
+                config.tensorf, num_images=len(self.train_outputs.cameras))
+            params = trf.init_tensorf_params(mcfg, seed=config.seed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: trf.tensorf_loss(
+                p, mcfg, rng, o, d, tgt)
+            self._render = lambda p, ms, rng, o, d, rel: trf.tensorf_forward(
+                p, mcfg, rng, o, d, train=False)
+            self.statics = {}
         elif kind == "vanilla-nerf":
             mcfg = config.vanilla
             params = nerfacto_mod.init_vanilla_params(mcfg, seed=config.seed)

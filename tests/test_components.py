@@ -198,3 +198,68 @@ def test_undistortion_roundtrip():
     und = radial_and_tangential_undistort_jax(
         jnp.stack([xd, yd], -1), params)
     np.testing.assert_allclose(np.asarray(und), np.asarray(xy), atol=1e-5)
+
+
+def test_method_registry_complete():
+    from gfnerf_tpu.configs.method_configs import discover_methods
+
+    methods = discover_methods()
+    for name in ("gf-nerf", "gf-nerf-perf", "nerfacto", "instant-ngp",
+                 "mipnerf", "tensorf", "vanilla-nerf"):
+        assert name in methods, name
+        cfg = methods[name]()
+        assert cfg.method_name == name
+
+
+def test_model_forwards_cpu():
+    """One tiny forward+grad step of each stock model (CPU)."""
+    import jax
+
+    from gfnerf_tpu.models import instant_ngp as ngp
+    from gfnerf_tpu.models import nerfacto as nf
+    from gfnerf_tpu.models import tensorf as trf
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.standard_normal((8, 3)) * 0.1 + [0, 0, 3], jnp.float32)
+    d = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tgt = jnp.asarray(rng.random((8, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    cfg = nf.NerfactoConfig(log2_hashmap_size=8, proposal_log2_hashmap_size=8,
+                            num_proposal_samples=(16,), num_nerf_samples=8)
+    p, s = nf.init_nerfacto_params(cfg)
+    (l, _), g = jax.value_and_grad(
+        lambda p: nf.nerfacto_loss(p, s, cfg, key, o, d,
+                                   jnp.zeros(8, jnp.int32), tgt)[0],
+        has_aux=False)(p), None
+    assert np.isfinite(float(l[0] if isinstance(l, tuple) else l))
+
+    mcfg = nf.MipNerfConfig(num_coarse_samples=8, num_importance_samples=8,
+                            hidden_dim=16)
+    p = nf.init_mipnerf_params(mcfg)
+    l, _ = nf.mipnerf_loss(p, mcfg, key, o, d, tgt)
+    assert np.isfinite(float(l))
+
+    icfg = ngp.InstantNGPConfig(grid_resolution=16, num_samples=8,
+                                log2_hashmap_size=8)
+    p, s, ms = ngp.init_instant_ngp_params(icfg)
+    l, _ = ngp.instant_ngp_loss(p, s, ms, icfg, key, o, d, tgt)
+    assert np.isfinite(float(l))
+
+    tcfg = trf.TensoRFConfig(resolution=16, num_coarse_samples=8,
+                             num_fine_samples=8, hidden_dim=16)
+    p = trf.init_tensorf_params(tcfg)
+    l, _ = trf.tensorf_loss(p, tcfg, key, o, d, tgt)
+    assert np.isfinite(float(l))
+
+    # depth-nerfacto variant
+    cfg2 = nf.NerfactoConfig(log2_hashmap_size=8,
+                             proposal_log2_hashmap_size=8,
+                             num_proposal_samples=(16,), num_nerf_samples=8)
+    p2, s2 = nf.init_nerfacto_params(cfg2)
+    depth = jnp.full((8, 1), 0.3)
+    l, (losses, _) = nf.depth_nerfacto_loss(p2, s2, cfg2, key, o, d,
+                                            jnp.zeros(8, jnp.int32), tgt,
+                                            depth_gt=depth)
+    assert "depth_loss" in losses and np.isfinite(float(l))
