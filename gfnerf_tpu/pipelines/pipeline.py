@@ -144,6 +144,29 @@ class GFNerfPipeline:
         self._rng = jax.random.PRNGKey(config.seed)
         self.sample_tmp_dir: Optional[str] = None
 
+        # data-parallel mesh across all local devices (replaces the
+        # reference's NCCL DDP, SURVEY.md §2.4): batches are sharded over
+        # the "data" axis and XLA inserts the gradient psum over ICI.
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gfnerf_tpu.parallel.sharding import (batch_sharding,
+                                                      make_mesh)
+
+            self.mesh = make_mesh(n_dev, 1)
+            self._batch_sharding = batch_sharding(self.mesh)
+            rep = NamedSharding(self.mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), t)
+            self.state = put(self.state)
+            self.statics = put(self.statics)
+            self.sampler.oct_dev = put(self.sampler.oct_dev)
+            self.cameras_dev = put(self.cameras_dev)
+        else:
+            self.mesh = None
+            self._batch_sharding = None
+
     # --------------------------------------------------------------- train ----
 
     def stage_of(self, step: int) -> int:
@@ -166,6 +189,9 @@ class GFNerfPipeline:
         }
         if "semantics" in batch:
             dev_batch["semantics"] = jnp.asarray(batch["semantics"])
+        if self._batch_sharding is not None:
+            dev_batch = {k: jax.device_put(v, self._batch_sharding)
+                         for k, v in dev_batch.items()}
         fineness = jnp.asarray(self.sampler.fineness(step), jnp.float32)
         active_block = jnp.asarray(max(self.sampler.cur_split_idx(step), 0),
                                    jnp.int32)
