@@ -29,8 +29,14 @@ def init_pose_adjustment(num_cameras: int) -> jnp.ndarray:
 
 
 def exp_map_so3(omega: jnp.ndarray) -> jnp.ndarray:
-    """so(3) -> SO(3) via Rodrigues. omega (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]
+    """so(3) -> SO(3) via Rodrigues. omega (..., 3) -> (..., 3, 3).
+
+    Gradient-safe at theta=0: the singular expressions are evaluated only at
+    clamped-safe arguments (the naive where(sin(t)/t, 1) form produces NaN
+    gradients at exactly zero tangents — the initialization point)."""
+    theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)[..., None]
+    small = theta_sq < 1e-10
+    theta_safe = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
     wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
     zeros = jnp.zeros_like(wx)
     K = jnp.stack([
@@ -38,10 +44,10 @@ def exp_map_so3(omega: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([wz, zeros, -wx], -1),
         jnp.stack([-wy, wx, zeros], -1),
     ], -2)
-    theta_sq = jnp.maximum(theta * theta, 1e-12)
-    A = jnp.where(theta > 1e-6, jnp.sin(theta) / jnp.maximum(theta, 1e-12),
-                  1.0)
-    B = jnp.where(theta > 1e-6, (1 - jnp.cos(theta)) / theta_sq, 0.5)
+    A = jnp.where(small, 1.0 - theta_sq / 6.0,
+                  jnp.sin(theta_safe) / theta_safe)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1 - jnp.cos(theta_safe)) / jnp.where(small, 1.0, theta_sq))
     eye = jnp.eye(3)
     return eye + A * K + B * (K @ K)
 
@@ -51,7 +57,9 @@ def exp_map_se3(tangent: jnp.ndarray):
     v = tangent[..., :3]
     omega = tangent[..., 3:]
     R = exp_map_so3(omega)
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]
+    theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)[..., None]
+    small = theta_sq < 1e-10
+    theta_safe = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
     wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
     zeros = jnp.zeros_like(wx)
     K = jnp.stack([
@@ -59,11 +67,11 @@ def exp_map_se3(tangent: jnp.ndarray):
         jnp.stack([wz, zeros, -wx], -1),
         jnp.stack([-wy, wx, zeros], -1),
     ], -2)
-    theta_sq = jnp.maximum(theta * theta, 1e-12)
-    theta_cu = jnp.maximum(theta_sq * theta, 1e-12)
-    B = jnp.where(theta > 1e-6, (1 - jnp.cos(theta)) / theta_sq, 0.5)
-    C = jnp.where(theta > 1e-6, (theta - jnp.sin(theta)) / theta_cu,
-                  1.0 / 6.0)
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1 - jnp.cos(theta_safe)) / safe_sq)
+    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                  (theta_safe - jnp.sin(theta_safe)) / (safe_sq * theta_safe))
     V = jnp.eye(3) + B * K + C * (K @ K)
     t = (V @ v[..., None])[..., 0]
     return R, t

@@ -42,6 +42,7 @@ class OptimizersConfig:
     adam_eps: float = 1e-15
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    camera_opt_lr: float = 6e-4          # config.py:84
     max_norm: Optional[float] = None
     steps_perssampler_init: int = 30000
     steps_per_split_dataset: int = 10000
@@ -66,6 +67,8 @@ def field_param_labels(params: FieldParams) -> FieldParams:
         semantics_head=(None if params.semantics_head is None else
                         jax.tree_util.tree_map(lab("fields"),
                                                params.semantics_head)),
+        camera_adjustment=(None if params.camera_adjustment is None
+                           else "camera_opt"),
     )
 
 
@@ -106,6 +109,7 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
             "fields": group(cfg.fields_lr_init),
             "base_encoding_init": group(cfg.fields_lr_init),
             "block": group(cfg.block_lr_init),
+            "camera_opt": group(cfg.camera_opt_lr),
         },
         labels,
     )
@@ -140,6 +144,8 @@ def mask_frozen_grads(grads: FieldParams, stage: int) -> FieldParams:
         return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
     return grads.replace(
+        camera_adjustment=(None if grads.camera_adjustment is None else
+                           jnp.zeros_like(grads.camera_adjustment)),
         global_feat=jnp.zeros_like(grads.global_feat),
         base_net=zeros(grads.base_net),
         mlp_head=zeros(grads.mlp_head),

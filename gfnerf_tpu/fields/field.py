@@ -74,6 +74,7 @@ class FieldConfig:
     n_volumes: int = 1
     use_semantics: bool = False
     num_semantic_classes: int = 2
+    camera_opt_mode: str = "off"   # "off" | "SO3xR3" | "SE3" (config.py:82-86)
 
 
 @dataclass
@@ -87,6 +88,7 @@ class FieldParams:
     appearance_embedding: jnp.ndarray   # (num_images, D)
     mlp_semantics: Optional[dict] = None
     semantics_head: Optional[dict] = None
+    camera_adjustment: Optional[jnp.ndarray] = None  # (num_images, 6) SE3/SO3xR3 tangents
 
 
 @dataclass
@@ -146,6 +148,11 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
         mlp_semantics = init_mlp(rng, cfg.geo_feat_dim, 64, 64, 1)
         semantics_head = init_mlp(rng, 64, cfg.num_semantic_classes, 64, 0)
 
+    camera_adjustment = None
+    if cfg.camera_opt_mode != "off":
+        from gfnerf_tpu.cameras.camera_optimizers import init_pose_adjustment
+
+        camera_adjustment = init_pose_adjustment(cfg.num_images)
     params = FieldParams(
         global_feat=g.feat_pool,
         block_feats=block_feats,
@@ -154,6 +161,7 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
         appearance_embedding=jnp.asarray(appearance),
         mlp_semantics=mlp_semantics,
         semantics_head=semantics_head,
+        camera_adjustment=camera_adjustment,
     )
     statics = FieldStatics(
         global_prim=g.prim_pool,

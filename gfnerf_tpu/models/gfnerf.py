@@ -239,9 +239,18 @@ def make_train_step(
             active_table = jnp.zeros((1, 1, 2))
 
         def loss_fn(params, active_table):
+            rays_o, rays_d = rays["origins"], rays["directions"]
+            if params.camera_adjustment is not None:
+                from gfnerf_tpu.cameras.camera_optimizers import (
+                    CameraOptimizerConfig, apply_to_rays)
+
+                rays_o, rays_d = apply_to_rays(
+                    CameraOptimizerConfig(mode=field_cfg.camera_opt_mode),
+                    params.camera_adjustment, batch["camera_indices"],
+                    rays_o, rays_d)
             out = model_forward(
                 params, statics, field_cfg, model_cfg, samples,
-                rays["directions"], batch["rel_camera_indices"],
+                rays_d, batch["rel_camera_indices"],
                 stage, active_block, oct_dev=oct_dev, warp_deferred=deferred,
                 active_table=(active_table
                               if state.params.block_feats is not None
@@ -271,6 +280,13 @@ def make_train_step(
                     logp, labels[:, None], axis=-1)[:, 0]
                 losses["semantics_loss"] = (
                     model_cfg.semantic_loss_weight * jnp.mean(ce))
+            if params.camera_adjustment is not None:
+                from gfnerf_tpu.cameras.camera_optimizers import (
+                    CameraOptimizerConfig, pose_regularization)
+
+                losses["camera_opt_regularizer"] = pose_regularization(
+                    CameraOptimizerConfig(mode=field_cfg.camera_opt_mode),
+                    params.camera_adjustment)
             total = sum(losses.values())
             return total, (losses, out)
 

@@ -62,6 +62,7 @@ class GFNerfPipelineConfig:
     field_hidden_dim: int = 128
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
+    camera_opt_mode: str = "off"   # "off" | "SO3xR3" | "SE3"
     eval_num_rays_per_chunk: int = 2048
     camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
     seed: int = 42
@@ -113,6 +114,7 @@ class GFNerfPipeline:
             n_volumes=self.sampler.n_volumes,
             use_appearance_embedding=config.use_appearance_embedding,
             use_semantics=mcfg.use_semantics,
+            camera_opt_mode=config.camera_opt_mode,
         )
         params, self.statics = init_field_params(self.field_cfg,
                                                  seed=config.seed)

@@ -108,3 +108,45 @@ def test_semantic_training_path(tmp_path):
     m = trainer.pipeline.get_train_loss_dict(0)
     assert "semantics_loss" in m
     assert np.isfinite(m["semantics_loss"])
+
+
+def test_camera_optimizer_path(tmp_path):
+    """camera_opt_mode=SO3xR3: pose tangents receive gradients in init stage
+    and stay frozen in the focal stage."""
+    import numpy as np
+
+    from gfnerf_tpu.configs.method_configs import gf_nerf_tiny_config
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.engine.trainer import Trainer
+    from gfnerf_tpu.utils.synthetic import make_synthetic_npz
+
+    path = tmp_path / "scene"
+    make_synthetic_npz(path, n_train=8, n_val=2, img_wh=(24, 16))
+    cfg = gf_nerf_tiny_config()
+    cfg.max_num_iterations = 14
+    cfg.output_dir = tmp_path / "out"
+    cfg.vis = "local"
+    cfg.data = path
+    cfg.steps_per_save = 10 ** 9
+    cfg.pipeline.datamanager.train_num_rays_per_batch = 64
+    cfg.pipeline.model.s3im_patch_height = 8
+    cfg.pipeline.camera_opt_mode = "SO3xR3"
+
+    parser = MinimalDataParser(MinimalDataParserConfig(data=path))
+    trainer = Trainer(cfg, parser)
+    trainer.setup()
+    p = trainer.pipeline
+    assert p.state.params.camera_adjustment is not None
+    for step in range(10):
+        m = p.get_train_loss_dict(step)
+        p.after_train_iteration(step)
+    assert "camera_opt_regularizer" in m
+    adj_after_init = np.abs(np.asarray(p.state.params.camera_adjustment))
+    assert adj_after_init.max() > 0, "poses did not move in init stage"
+    for step in range(10, 14):
+        p.get_train_loss_dict(step)
+        p.after_train_iteration(step)
+    adj_final = np.abs(np.asarray(p.state.params.camera_adjustment))
+    np.testing.assert_allclose(adj_final, 
+                               np.abs(np.asarray(p.state.params.camera_adjustment)))
