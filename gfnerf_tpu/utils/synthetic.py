@@ -109,3 +109,34 @@ def make_synthetic_npz(path: Path, n_train: int = 24, n_val: int = 3,
     save("train", train_idx)
     save("val", val_idx)
     return path
+
+
+def make_blender_fixture(path: Path, n_train: int = 10, n_eval: int = 2,
+                         img_wh=(40, 30)):
+    """Write a blender-format dataset (transforms_{split}.json + pngs) from
+    the synthetic renderer — exercises the blender dataparser end-to-end
+    (the BASELINE configs[0] 'nerfacto on blender' shape)."""
+    import json
+
+    import imageio.v2 as imageio
+
+    path = Path(path)
+    total = n_train + n_eval
+    c2w, fx, fy, cx, cy, w, h = ring_cameras(total, img_wh=img_wh)
+    imgs = render_spheres(c2w, fx, fy, cx, cy, w, h)
+    cam_angle_x = 2 * np.arctan(w / (2 * fx[0]))
+    splits = (("train", 0, n_train), ("val", n_train, total),
+              ("test", n_train, total))
+    for split, lo, hi in splits:
+        (path / split).mkdir(parents=True, exist_ok=True)
+        frames = []
+        for i in range(lo, hi):
+            m = np.eye(4)
+            m[:3, :4] = c2w[i]
+            imageio.imwrite(path / split / f"r_{i}.png",
+                            (imgs[i] * 255).astype(np.uint8))
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": m.tolist()})
+        (path / f"transforms_{split}.json").write_text(json.dumps(
+            {"camera_angle_x": float(cam_angle_x), "frames": frames}))
+    return path

@@ -263,3 +263,48 @@ def test_model_forwards_cpu():
                                             jnp.zeros(8, jnp.int32), tgt,
                                             depth_gt=depth)
     assert "depth_loss" in losses and np.isfinite(float(l))
+
+
+def test_blender_dataparser(tmp_path):
+    from gfnerf_tpu.data.dataparsers.blender_parser import (
+        BlenderDataParser, BlenderDataParserConfig)
+    from gfnerf_tpu.utils.synthetic import make_blender_fixture
+
+    path = make_blender_fixture(tmp_path / "scene", n_train=4, n_eval=2)
+    parser = BlenderDataParser(BlenderDataParserConfig(data=path))
+    train = parser.get_dataparser_outputs("train")
+    val = parser.get_dataparser_outputs("val")
+    assert len(train.cameras) == 4 and len(val.cameras) == 2
+    from gfnerf_tpu.data.dataset import InputDataset
+
+    ds = InputDataset(train)
+    img = ds.get_image(0)
+    assert img.shape == (30, 40, 3) and 0 <= img.min() and img.max() <= 1
+
+
+def test_nerfstudio_dataparser(tmp_path):
+    """transforms.json path incl. vertical orientation + auto-scale."""
+    import json
+
+    from gfnerf_tpu.data.dataparsers.nerfstudio_parser import (
+        NerfstudioDataParser, NerfstudioDataParserConfig)
+    from gfnerf_tpu.utils.synthetic import ring_cameras
+
+    c2w, fx, fy, cx, cy, w, h = ring_cameras(6, img_wh=(32, 24))
+    frames = []
+    for i in range(6):
+        m = np.eye(4)
+        m[:3, :4] = c2w[i]
+        frames.append({
+            "file_path": f"images/f_{i}.png", "transform_matrix": m.tolist(),
+            "fl_x": float(fx[i]), "fl_y": float(fy[i]),
+            "cx": float(cx[i]), "cy": float(cy[i]), "w": 32, "h": 24,
+        })
+    (tmp_path / "transforms.json").write_text(json.dumps({"frames": frames}))
+    parser = NerfstudioDataParser(NerfstudioDataParserConfig(
+        data=tmp_path, scale_factor=10.0, orientation_method="vertical"))
+    out = parser.get_dataparser_outputs("train")
+    assert len(out.cameras) == 6
+    # auto-scale x scale_factor: max |t| == 10
+    assert abs(np.abs(out.cameras.camera_to_worlds[:, :, 3]).max() - 10.0) < 1e-3
+    assert out.metadata["global_image_indices"] == list(range(6))
