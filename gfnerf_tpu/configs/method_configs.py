@@ -197,6 +197,22 @@ def tensorf_config() -> TrainerConfig:
     )
 
 
+def neus_config() -> TrainerConfig:
+    """NeuS surface reconstruction (SDF field + eikonal)."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="neus",
+        max_num_iterations=100000,
+        steps_per_eval_image=10000,
+        steps_per_save=5000,
+        pipeline=VanillaPipelineConfig(model_kind="neus",
+                                       train_num_rays_per_batch=1024,
+                                       lr_init=5e-4, lr_final=2.5e-5,
+                                       max_steps=100000),
+    )
+
+
 def vanilla_nerf_config() -> TrainerConfig:
     """Original NeRF: frequency encoding + coarse/fine MLPs."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -221,6 +237,7 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "instant-ngp": instant_ngp_config,
     "mipnerf": mipnerf_config,
     "tensorf": tensorf_config,
+    "neus": neus_config,
     "vanilla-nerf": vanilla_nerf_config,
 }
 
@@ -232,6 +249,7 @@ descriptions = {
     "instant-ngp": "Hash field + occupancy-grid sampler (instant-ngp).",
     "mipnerf": "mip-NeRF (integrated positional encoding, coarse/fine).",
     "tensorf": "TensoRF (vector-matrix factorized field).",
+    "neus": "NeuS surface reconstruction (SDF field + eikonal).",
     "vanilla-nerf": "Original NeRF (frequency encoding, coarse/fine MLPs).",
 }
 

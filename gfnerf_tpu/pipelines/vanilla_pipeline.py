@@ -46,6 +46,10 @@ class VanillaPipelineConfig:
         default_factory=lambda: __import__(
             "gfnerf_tpu.models.tensorf", fromlist=["TensoRFConfig"]
         ).TensoRFConfig())
+    neus: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.neus", fromlist=["NeuSConfig"]
+        ).NeuSConfig())
     instant_ngp: "object" = dataclasses.field(
         default_factory=lambda: __import__(
             "gfnerf_tpu.models.instant_ngp", fromlist=["InstantNGPConfig"]
@@ -114,6 +118,17 @@ class VanillaPipeline:
             loss_fn = lambda p, ms, rng, o, d, rel, tgt: trf.tensorf_loss(
                 p, mcfg, rng, o, d, tgt)
             self._render = lambda p, ms, rng, o, d, rel: trf.tensorf_forward(
+                p, mcfg, rng, o, d, train=False)
+            self.statics = {}
+        elif kind == "neus":
+            from gfnerf_tpu.models import neus as neus_mod
+
+            mcfg = dataclasses.replace(
+                config.neus, num_images=len(self.train_outputs.cameras))
+            params = neus_mod.init_neus_params(mcfg, seed=config.seed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: neus_mod.neus_loss(
+                p, mcfg, rng, o, d, tgt)
+            self._render = lambda p, ms, rng, o, d, rel: neus_mod.neus_forward(
                 p, mcfg, rng, o, d, train=False)
             self.statics = {}
         elif kind == "vanilla-nerf":

@@ -205,7 +205,7 @@ def test_method_registry_complete():
 
     methods = discover_methods()
     for name in ("gf-nerf", "gf-nerf-perf", "nerfacto", "instant-ngp",
-                 "mipnerf", "tensorf", "vanilla-nerf"):
+                 "mipnerf", "tensorf", "neus", "vanilla-nerf"):
         assert name in methods, name
         cfg = methods[name]()
         assert cfg.method_name == name
