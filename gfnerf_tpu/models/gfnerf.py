@@ -229,6 +229,10 @@ def make_train_step(
                   - 0.5) + 1.0)  # PersSampler_cuda GetSamples:385-389
         samples = sample_rays(oct_dev, rays["origins"], rays["directions"],
                               noise, fineness, sampler_cfg)
+        # sample positions are not optimized (the reference's CUDA sampler
+        # has no autograd either); without this the backward pass would
+        # retrace the whole march graph just to drop the cotangents
+        samples = jax.lax.stop_gradient(samples)
         deferred = sampler_cfg.march == "fast"
 
         target = batch["image"]
