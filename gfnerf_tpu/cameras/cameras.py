@@ -68,11 +68,33 @@ class Cameras:
 def camera_ray_directions(
     coords: jnp.ndarray,  # (..., 2) pixel coords as (y, x)
     fx, fy, cx, cy,
+    camera_type: int = CAMERA_TYPE_PERSPECTIVE,
+    width=None, height=None,
 ) -> jnp.ndarray:
-    """Camera-space (un-normalized) direction for pixel coords (y, x)."""
+    """Camera-space (un-normalized) direction for pixel coords (y, x).
+
+    Perspective (cameras.py:650-660), fisheye equidistant (cameras.py:662-670)
+    and equirectangular (cameras.py:672-681) models."""
     y = coords[..., 0]
     x = coords[..., 1]
-    return jnp.stack([(x - cx) / fx, -(y - cy) / fy, -jnp.ones_like(x)], axis=-1)
+    if camera_type == CAMERA_TYPE_PERSPECTIVE:
+        return jnp.stack(
+            [(x - cx) / fx, -(y - cy) / fy, -jnp.ones_like(x)], axis=-1)
+    if camera_type == CAMERA_TYPE_FISHEYE:
+        u = (x - cx) / fx
+        v = -(y - cy) / fy
+        theta = jnp.sqrt(u * u + v * v)          # equidistant: r = f * theta
+        theta = jnp.clip(theta, 1e-9, jnp.pi)
+        sin_over = jnp.sin(theta) / theta
+        return jnp.stack([u * sin_over, v * sin_over, -jnp.cos(theta)],
+                         axis=-1)
+    if camera_type == CAMERA_TYPE_EQUIRECTANGULAR:
+        # pixel -> (longitude, latitude)
+        lon = (x / width - 0.5) * 2.0 * jnp.pi
+        lat = -(y / height - 0.5) * jnp.pi
+        return jnp.stack([jnp.sin(lon) * jnp.cos(lat), jnp.sin(lat),
+                          -jnp.cos(lon) * jnp.cos(lat)], axis=-1)
+    raise ValueError(camera_type)
 
 
 def generate_rays(
@@ -91,11 +113,16 @@ def generate_rays(
     cx = cameras.cx[camera_index]
     cy = cameras.cy[camera_index]
 
-    d_cam = camera_ray_directions(coords, fx, fy, cx, cy)
+    w_i = cameras.width[camera_index]
+    h_i = cameras.height[camera_index]
+    ct = cameras.camera_type
+    d_cam = camera_ray_directions(coords, fx, fy, cx, cy, ct, w_i, h_i)
     # neighbours for pixel area (reference cameras.py computes dx/dy from
     # adjacent-pixel direction differences)
-    d_cam_dx = camera_ray_directions(coords + jnp.array([0.0, 1.0]), fx, fy, cx, cy)
-    d_cam_dy = camera_ray_directions(coords + jnp.array([1.0, 0.0]), fx, fy, cx, cy)
+    d_cam_dx = camera_ray_directions(coords + jnp.array([0.0, 1.0]), fx, fy,
+                                     cx, cy, ct, w_i, h_i)
+    d_cam_dy = camera_ray_directions(coords + jnp.array([1.0, 0.0]), fx, fy,
+                                     cx, cy, ct, w_i, h_i)
 
     rot = c2w[:3, :3]
 
@@ -133,8 +160,11 @@ def generate_rays_multi(
     cx = cameras.cx[camera_indices]
     cy = cameras.cy[camera_indices]
 
-    d_cam = camera_ray_directions(coords, fx, fy, cx, cy)
-    if cameras.distortion_params is not None:
+    ct = cameras.camera_type
+    w_r = cameras.width[camera_indices]
+    h_r = cameras.height[camera_indices]
+    d_cam = camera_ray_directions(coords, fx, fy, cx, cy, ct, w_r, h_r)
+    if ct == CAMERA_TYPE_PERSPECTIVE and cameras.distortion_params is not None:
         from gfnerf_tpu.utils.camera_utils import (
             radial_and_tangential_undistort_jax)
 
@@ -143,8 +173,10 @@ def generate_rays_multi(
             jnp.stack([d_cam[..., 0], -d_cam[..., 1]], -1), dist)
         d_cam = jnp.stack([und[..., 0], -und[..., 1],
                            -jnp.ones_like(und[..., 0])], axis=-1)
-    d_cam_dx = camera_ray_directions(coords + jnp.array([0.0, 1.0]), fx, fy, cx, cy)
-    d_cam_dy = camera_ray_directions(coords + jnp.array([1.0, 0.0]), fx, fy, cx, cy)
+    d_cam_dx = camera_ray_directions(coords + jnp.array([0.0, 1.0]), fx, fy,
+                                     cx, cy, ct, w_r, h_r)
+    d_cam_dy = camera_ray_directions(coords + jnp.array([1.0, 0.0]), fx, fy,
+                                     cx, cy, ct, w_r, h_r)
 
     rot = c2w[:, :3, :3]  # (R, 3, 3)
 

@@ -106,3 +106,41 @@ def test_edge_samples(ring_cameras):
     assert trans.shape == (64, 2)
     # both copies of each point are identical world positions
     np.testing.assert_allclose(np.asarray(pts[:, 0]), np.asarray(pts[:, 1]))
+
+
+def test_fisheye_and_equirect_rays(ring_cameras):
+    from gfnerf_tpu.cameras.cameras import (
+        CAMERA_TYPE_EQUIRECTANGULAR, CAMERA_TYPE_FISHEYE, Cameras,
+        generate_rays_multi)
+
+    c2w, intri = ring_cameras
+    n = len(c2w)
+    for ctype in (CAMERA_TYPE_FISHEYE, CAMERA_TYPE_EQUIRECTANGULAR):
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2w),
+            fx=jnp.asarray(intri[:, 0, 0]), fy=jnp.asarray(intri[:, 1, 1]),
+            cx=jnp.asarray(intri[:, 0, 2]), cy=jnp.asarray(intri[:, 1, 2]),
+            width=jnp.full((n,), 64, jnp.int32),
+            height=jnp.full((n,), 48, jnp.int32),
+            camera_type=ctype,
+        )
+        coords = jnp.asarray(
+            np.stack([np.random.default_rng(0).uniform(0, 48, 16),
+                      np.random.default_rng(1).uniform(0, 64, 16)], -1),
+            jnp.float32)
+        rays = generate_rays_multi(cams, jnp.zeros(16, jnp.int32), coords)
+        d = np.asarray(rays["directions"])
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # equirect: left and right image borders map to (nearly) the same ray
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=jnp.asarray(intri[:, 0, 0]), fy=jnp.asarray(intri[:, 1, 1]),
+        cx=jnp.asarray(intri[:, 0, 2]), cy=jnp.asarray(intri[:, 1, 2]),
+        width=jnp.full((n,), 64, jnp.int32),
+        height=jnp.full((n,), 48, jnp.int32),
+        camera_type=CAMERA_TYPE_EQUIRECTANGULAR,
+    )
+    border = jnp.asarray([[24.0, 0.0], [24.0, 64.0]], jnp.float32)
+    rays = generate_rays_multi(cams, jnp.zeros(2, jnp.int32), border)
+    d = np.asarray(rays["directions"])
+    np.testing.assert_allclose(d[0], d[1], atol=1e-4)
