@@ -117,8 +117,15 @@ def main(argv=None):
             frames.append(rgb)
         print(f"rendered frame {i + 1}/{len(cams)}")
     if args.output_format == "video":
+        import cv2
+
         video_path = args.output_path / "render.mp4"
-        imageio.mimwrite(video_path, frames, fps=24)
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(str(video_path),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
         print(f"wrote {video_path}")
 
 
