@@ -120,6 +120,11 @@ class Trainer:
 
     def eval_iteration(self, step: int):
         cfg = self.config
+        if ((step + 1) % cfg.steps_per_eval_batch == 0
+                and hasattr(self.pipeline, "get_eval_loss_dict")):
+            metrics = self.pipeline.get_eval_loss_dict(step)
+            self.writer.put_dict(
+                {f"Eval Batch/{k}": v for k, v in metrics.items()}, step)
         if (step + 1) % cfg.steps_per_eval_image == 0:
             metrics, images = (
                 self.pipeline.get_eval_image_metrics_and_images(step))

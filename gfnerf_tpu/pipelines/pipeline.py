@@ -237,6 +237,44 @@ class GFNerfPipeline:
                 self.sampler.cameras_labels, cur, self.sample_tmp_dir,
             )
 
+    def get_eval_loss_dict(self, step: int) -> Dict[str, float]:
+        """Eval-ray-batch metrics (VanillaPipeline.get_eval_loss_dict
+        equivalent; logged every steps_per_eval_batch)."""
+        from gfnerf_tpu.cameras.cameras import generate_rays_multi
+        from gfnerf_tpu.fields.field import STAGE_BLOCK
+
+        batch = self.datamanager.next_eval(step)
+        outputs = batch.pop("_outputs")
+        cams_dev = outputs.cameras.to_device()
+        rays = generate_rays_multi(cams_dev,
+                                   jnp.asarray(batch["camera_indices"]),
+                                   jnp.asarray(batch["coords"]))
+        stage = self.stage_of(step)
+        # nearest-camera appearance/block lookup per batch (eval semantics)
+        origin = np.asarray(rays["origins"])[0]
+        split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
+        chunk = self.config.eval_num_rays_per_chunk
+        r = rays["origins"].shape[0]
+        preds = []
+        o = np.asarray(rays["origins"]); d = np.asarray(rays["directions"])
+        for start in range(0, r, chunk):
+            end = min(start + chunk, r)
+            ro = jnp.asarray(o[start:end]); rd = jnp.asarray(d[start:end])
+            if end - start < chunk:
+                pad = chunk - (end - start)
+                ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
+                rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
+            out = self._render_chunk(
+                self.state.params, self.statics, self.sampler.oct_dev,
+                ro, rd, jnp.asarray(nearest, jnp.int32),
+                jnp.asarray(max(split_idx, 0), jnp.int32),
+                jnp.asarray(stage == STAGE_BLOCK))
+            preds.append(np.asarray(out["rgb"])[: end - start])
+        pred = np.concatenate(preds)
+        mse = float(np.mean((pred - batch["image"]) ** 2))
+        return {"eval_rgb_mse": mse,
+                "eval_psnr": -10.0 * np.log10(mse + 1e-12)}
+
     # ----------------------------------------------------------- rendering ----
 
     def render_camera(self, cameras_host, camera_idx: int, step: int,
