@@ -135,7 +135,12 @@ def model_forward(
         # reference indexes by valid_mask (dynamic shapes); on TPU we gather
         # into a fixed (R*budget) buffer and scatter results back.
         k = r * budget
-        flat_valid = samples.valid.reshape(-1)
+        # Per-ray cap: keep each ray's first `budget` valid samples, like the
+        # reference's per-ray num_nerf_samples_per_ray=256 (config.py:122).
+        # A batch-global first-come fill would silently strip ALL samples
+        # from rays late in the batch whenever the batch total exceeds k.
+        cum = jnp.cumsum(samples.valid.astype(jnp.int32), axis=1)
+        flat_valid = (samples.valid & (cum <= budget)).reshape(-1)
         (idx,) = jnp.nonzero(flat_valid, size=k, fill_value=r * s)
         pad = idx >= r * s
         safe = jnp.minimum(idx, r * s - 1)
@@ -301,6 +306,11 @@ def make_train_step(
         updates, opt_state = tx.update((grads_nb, grad_table),
                                        state.opt_state,
                                        (params_nb, active_table))
+        # Freezing means masking the *updates*, not just the grads: Adam's
+        # first-moment carry-over turns zero grads into nonzero updates for
+        # several steps after the stage switch (the reference freezes by
+        # excluding the groups from the optimizer, nerfacto.py:448-489).
+        updates = (mask_frozen_grads(updates[0], stage), updates[1])
         params_nb, active_table = optax.apply_updates(
             (params_nb, active_table), updates)
         if state.params.block_feats is not None:

@@ -250,27 +250,37 @@ class GFNerfPipeline:
                                    jnp.asarray(batch["camera_indices"]),
                                    jnp.asarray(batch["coords"]))
         stage = self.stage_of(step)
-        # nearest-camera appearance/block lookup per batch (eval semantics)
-        origin = np.asarray(rays["origins"])[0]
-        split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
-        chunk = self.config.eval_num_rays_per_chunk
-        r = rays["origins"].shape[0]
-        preds = []
+        # Nearest-camera appearance/block lookup must be *per camera*: the
+        # eval ray batch mixes cameras from all clusters, so a single
+        # batch-wide nearest index would mislabel most rays.  Group rays by
+        # their camera's (split, nearest) pair and render each group with
+        # its own block.
+        cam_idx_np = np.asarray(batch["camera_indices"])
         o = np.asarray(rays["origins"]); d = np.asarray(rays["directions"])
-        for start in range(0, r, chunk):
-            end = min(start + chunk, r)
-            ro = jnp.asarray(o[start:end]); rd = jnp.asarray(d[start:end])
-            if end - start < chunk:
-                pad = chunk - (end - start)
-                ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
-                rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
-            out = self._render_chunk(
-                self.state.params, self.statics, self.sampler.oct_dev,
-                ro, rd, jnp.asarray(nearest, jnp.int32),
-                jnp.asarray(max(split_idx, 0), jnp.int32),
-                jnp.asarray(stage == STAGE_BLOCK))
-            preds.append(np.asarray(out["rgb"])[: end - start])
-        pred = np.concatenate(preds)
+        r = rays["origins"].shape[0]
+        chunk = self.config.eval_num_rays_per_chunk
+        pred = np.zeros((r, 3), np.float32)
+        groups: Dict[tuple, list] = {}
+        for cam in np.unique(cam_idx_np):
+            sel = np.nonzero(cam_idx_np == cam)[0]
+            origin = o[sel[0]]
+            split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
+            groups.setdefault((split_idx, nearest), []).append(sel)
+        for (split_idx, nearest), sels in groups.items():
+            sel = np.concatenate(sels)
+            for start in range(0, len(sel), chunk):
+                ids = sel[start: start + chunk]
+                ro = jnp.asarray(o[ids]); rd = jnp.asarray(d[ids])
+                if len(ids) < chunk:
+                    pad = chunk - len(ids)
+                    ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
+                    rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
+                out = self._render_chunk(
+                    self.state.params, self.statics, self.sampler.oct_dev,
+                    ro, rd, jnp.asarray(nearest, jnp.int32),
+                    jnp.asarray(max(split_idx, 0), jnp.int32),
+                    jnp.asarray(stage == STAGE_BLOCK))
+                pred[ids] = np.asarray(out["rgb"])[: len(ids)]
         mse = float(np.mean((pred - batch["image"]) ** 2))
         return {"eval_rgb_mse": mse,
                 "eval_psnr": -10.0 * np.log10(mse + 1e-12)}

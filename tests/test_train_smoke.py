@@ -142,11 +142,13 @@ def test_camera_optimizer_path(tmp_path):
         m = p.get_train_loss_dict(step)
         p.after_train_iteration(step)
     assert "camera_opt_regularizer" in m
-    adj_after_init = np.abs(np.asarray(p.state.params.camera_adjustment))
+    adj_after_init_signed = np.asarray(p.state.params.camera_adjustment).copy()
+    adj_after_init = np.abs(adj_after_init_signed)
     assert adj_after_init.max() > 0, "poses did not move in init stage"
     for step in range(10, 14):
         p.get_train_loss_dict(step)
         p.after_train_iteration(step)
-    adj_final = np.abs(np.asarray(p.state.params.camera_adjustment))
-    np.testing.assert_allclose(adj_final, 
-                               np.abs(np.asarray(p.state.params.camera_adjustment)))
+    adj_final = np.asarray(p.state.params.camera_adjustment)
+    np.testing.assert_allclose(
+        adj_final, np.asarray(adj_after_init_signed),
+        err_msg="poses moved during the focal stage (must be frozen)")
