@@ -3,12 +3,19 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Workload mirrors the reference's default shape (BASELINE.md): 8192 rays per
-batch, up to 1024 samples/ray, 16-level 2^21 anchored hash table, full jitted
-train step (march + field + losses + grads + Adam + occupancy stats) on a
-synthetic multi-sphere scene.  ``vs_baseline`` is the fraction of the
-BASELINE.json north-star per-chip rate (1M rays/s on a v5p-8 => 125k
-rays/s/chip; this environment's chip is a v5e).
+Workload: 8192 rays/batch on the gf-nerf-perf flagship configuration —
+supercell-packed anchored hash tables (fields/packed_hash.py: one wide-row
+gather per point-level instead of 8 corner gathers), 8 levels x 4 channels at
+the parity config's bytes/level, 160-sample march budget — full jitted train
+step (march + field + losses + grads + Adam + occupancy stats) on a synthetic
+multi-sphere scene, 8 steps per dispatch (``make_multi_train_step``; host
+dispatch costs ~100 ms/call through this environment's TPU relay).
+
+The paper-faithful parity configuration (gf-nerf: exact per-corner anchored
+hashing, 16x2 levels, 1024-sample march) is benchmarked in PERF_NOTES.md.
+
+``vs_baseline`` is the fraction of the BASELINE.json north-star per-chip rate
+(1M rays/s on a v5p-8 => 125k rays/s/chip; this environment's chip is a v5e).
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ def main():
     from gfnerf_tpu.models.gfnerf import (
         GFNeRFModelConfig,
         TrainState,
-        make_train_step,
+        make_multi_train_step,
     )
     from gfnerf_tpu.sampler.octree import build_octree
     from gfnerf_tpu.sampler.perssampler import SamplerConfig, octree_to_device
@@ -57,18 +64,21 @@ def main():
                         n_rand_pts=4096, vis_res_w=64, seed=0)
     oct_dev = octree_to_device(tree, capacity=32768)
 
-    scfg = SamplerConfig(max_samples=1024, sample_l=1.0 / 256,
-                         locate_iters=12)
+    # gf-nerf-perf flagship shape (configs/method_configs.py:126)
+    S = 160
+    scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256, locate_iters=12)
     fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
-                       log2_hashmap_size=21, num_levels=16, n_blocks=2)
+                       num_levels=8, features_per_level=4,
+                       hash_layout="packed", packed_rows_log2=15, n_blocks=2)
     mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
-                             samples_budget_per_ray=192)
+                             samples_budget_per_ray=S)
     params, statics = init_field_params(fcfg, seed=0)
     ocfg = OptimizersConfig()
     tx = build_optimizer(ocfg, params)
     state = TrainState(params=params, opt_state=tx.init(optimizer_arg(params)),
                        step=jnp.asarray(0, jnp.int32))
-    step_fn = make_train_step(fcfg, mcfg, scfg, tx, STAGE_INIT)
+    K = 8
+    step_fn = make_multi_train_step(fcfg, mcfg, scfg, tx, STAGE_INIT, K)
 
     cams_host = CamerasHost(
         camera_to_worlds=c2w, fx=fx, fy=fy, cx=cx, cy=cy,
@@ -78,12 +88,14 @@ def main():
     cameras = cams_host.to_device()
 
     R = 8192
-    rng = np.random.default_rng(0)
 
-    def make_batch():
-        ki = rng.integers(0, n_cams, R)
-        yi = rng.integers(0, h, R)
-        xi = rng.integers(0, w, R)
+    def make_batches(seed):
+        """One stacked (K, ...) batch pytree, staged to device as few
+        large arrays (host->device transfers through the relay are slow)."""
+        rng = np.random.default_rng(seed)
+        ki = rng.integers(0, n_cams, (K, R))
+        yi = rng.integers(0, h, (K, R))
+        xi = rng.integers(0, w, (K, R))
         return {
             "camera_indices": jnp.asarray(ki, jnp.int32),
             "rel_camera_indices": jnp.asarray(ki, jnp.int32),
@@ -93,25 +105,25 @@ def main():
         }
 
     key = jax.random.PRNGKey(0)
-    fineness = jnp.asarray(4.0, jnp.float32)
+    finenesses = jnp.full((K,), 4.0, jnp.float32)
     active = jnp.asarray(0, jnp.int32)
 
     # warmup / compile
-    batch = make_batch()
     state, oct_dev, metrics, _ = step_fn(state, statics, oct_dev, cameras,
-                                         batch, fineness, active, key)
-    jax.block_until_ready(metrics)
+                                         make_batches(999), finenesses,
+                                         active, key)
+    float(metrics["loss"][-1])
 
-    n_iters = 10
-    batches = [make_batch() for _ in range(n_iters)]
+    n_dispatch = 3
+    batch_sets = [make_batches(i) for i in range(n_dispatch)]
     t0 = time.perf_counter()
-    for i in range(n_iters):
+    for i in range(n_dispatch):
         key, sub = jax.random.split(key)
         state, oct_dev, metrics, _ = step_fn(
-            state, statics, oct_dev, cameras, batches[i], fineness, active,
-            sub)
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / n_iters
+            state, statics, oct_dev, cameras, batch_sets[i], finenesses,
+            active, sub)
+    float(metrics["loss"][-1])  # host readback forces completion
+    dt = (time.perf_counter() - t0) / (n_dispatch * K)
     rays_per_sec = R / dt
 
     print(json.dumps({

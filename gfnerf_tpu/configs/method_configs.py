@@ -124,17 +124,24 @@ def gf_nerf_tiny_config() -> TrainerConfig:
 
 
 def gf_nerf_perf_config() -> TrainerConfig:
-    """Throughput-tuned gf-nerf: same table capacity reorganized as 8 levels
-    x 4 channels (hash lookup rows are the TPU cost currency, PERF_NOTES.md),
-    tighter compaction budget. Quality to be validated against the parity
-    config; use gf-nerf for paper-faithful hyperparameters."""
+    """Throughput-tuned gf-nerf: supercell-packed hash tables (one wide-row
+    gather per point-level instead of 8 corner gathers — hash lookup rows are
+    the TPU cost currency, PERF_NOTES.md), 8 levels x 4 channels, tighter
+    compaction budget. Quality to be validated against the parity config;
+    use gf-nerf for paper-faithful hyperparameters."""
     cfg = gf_nerf_config()
     cfg.method_name = "gf-nerf-perf"
     p = cfg.pipeline
     p.field_num_levels = 8
     p.field_features_per_level = 4
+    p.field_hash_layout = "packed"
+    # 2^15 rows x 128 f32 = 16 MB/level — the parity config's bytes/level
+    p.field_packed_rows_log2 = 15
     p.model.samples_budget_per_ray = 160
-    p.sampler.max_samples = 512
+    # march directly at the budget: placement fills sample slots in leaf
+    # order, so marching S slots == marching 1024 then keeping the first S
+    # valid samples — the compaction pass disappears entirely
+    p.sampler.max_samples = 160
     return cfg
 
 

@@ -75,6 +75,13 @@ class FieldConfig:
     use_semantics: bool = False
     num_semantic_classes: int = 2
     camera_opt_mode: str = "off"   # "off" | "SO3xR3" | "SE3" (config.py:82-86)
+    hash_layout: str = "anchored"  # "anchored" (exact parity) | "packed"
+    """"packed": supercell-packed table rows — one wide gather per
+    (point, level) instead of 8 corner gathers; the TPU-native fast layout
+    (fields/packed_hash.py). "anchored" matches the reference's per-corner
+    hashing exactly."""
+    packed_rows_log2: int = 15
+    packed_row_width: int = 128
 
 
 @dataclass
@@ -106,29 +113,39 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
     rng = np.random.default_rng(seed)
     feat_in = cfg.num_levels * cfg.features_per_level
 
-    g = init_hash_params(
-        seed=int(rng.integers(1 << 31)),
-        log2_table_size=cfg.log2_hashmap_size,
-        n_volumes=cfg.n_volumes,
-        n_levels=cfg.num_levels,
-        n_channels=cfg.features_per_level,
-        init_mode="reset",  # reference resets the global table (nerfacto_field.py:200)
-    )
-    if cfg.n_blocks > 0:
-        bts = [
-            init_hash_params(
+    if cfg.hash_layout == "packed":
+        from gfnerf_tpu.fields.packed_hash import init_packed_hash_params
+
+        def make_table(mode):
+            return init_packed_hash_params(
+                seed=int(rng.integers(1 << 31)),
+                n_rows_log2=cfg.packed_rows_log2,
+                n_volumes=cfg.n_volumes,
+                n_levels=cfg.num_levels,
+                n_channels=cfg.features_per_level,
+                row_width=cfg.packed_row_width,
+                init_mode=mode,
+            )
+    else:
+        def make_table(mode):
+            p = init_hash_params(
                 seed=int(rng.integers(1 << 31)),
                 log2_table_size=cfg.log2_hashmap_size,
                 n_volumes=cfg.n_volumes,
                 n_levels=cfg.num_levels,
                 n_channels=cfg.features_per_level,
-                init_mode="zero",  # residual tables start at zero (nerfacto_field.py:345)
+                init_mode=mode,
             )
-            for _ in range(cfg.n_blocks)
-        ]
-        block_feats = jnp.stack([b.feat_pool for b in bts], axis=0)
-        block_prims = jnp.stack([b.prim_pool for b in bts], axis=0)
-        block_biases = jnp.stack([b.bias_pool for b in bts], axis=0)
+            return p.feat_pool, p.prim_pool, p.bias_pool
+
+    # reference resets the global table, zeros the residual tables
+    # (nerfacto_field.py:200, :345)
+    g_feat, g_prim, g_bias = make_table("reset")
+    if cfg.n_blocks > 0:
+        bts = [make_table("zero") for _ in range(cfg.n_blocks)]
+        block_feats = jnp.stack([b[0] for b in bts], axis=0)
+        block_prims = jnp.stack([b[1] for b in bts], axis=0)
+        block_biases = jnp.stack([b[2] for b in bts], axis=0)
     else:
         block_feats = block_prims = block_biases = None
 
@@ -154,7 +171,7 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
 
         camera_adjustment = init_pose_adjustment(cfg.num_images)
     params = FieldParams(
-        global_feat=g.feat_pool,
+        global_feat=g_feat,
         block_feats=block_feats,
         base_net=base_net,
         mlp_head=mlp_head,
@@ -164,8 +181,8 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
         camera_adjustment=camera_adjustment,
     )
     statics = FieldStatics(
-        global_prim=g.prim_pool,
-        global_bias=g.bias_pool,
+        global_prim=g_prim,
+        global_bias=g_bias,
         block_prims=block_prims,
         block_biases=block_biases,
     )
@@ -196,23 +213,36 @@ def field_density(
     pts = ((warp_pts + 1.5) / 3.0).reshape(-1, 3)  # nerfacto_field.py:431
     anc = anchors.reshape(-1)
 
-    # hash_encode_sorted == hash_encode_raw forward; its custom VJP builds
-    # the table gradient by sort + prefix-diff instead of XLA's serialized
-    # scatter-add (see hash_encoding.py + PERF_NOTES.md).
-    feats = hash_encode_sorted(
-        params.global_feat, statics.global_prim, statics.global_bias, pts, anc
-    )
+    if cfg.hash_layout == "packed":
+        from gfnerf_tpu.fields.packed_hash import (
+            pack_for_channels,
+            packed_hash_encode,
+        )
+
+        pack = pack_for_channels(cfg.features_per_level, cfg.packed_row_width)
+
+        def encode(table, prim, bias):
+            return packed_hash_encode(table, prim, bias, pts, anc,
+                                      cfg.features_per_level, pack)
+    else:
+        # hash_encode_sorted == hash_encode_raw forward; its custom VJP
+        # builds the table gradient by sort + prefix-diff instead of XLA's
+        # serialized scatter-add (see hash_encoding.py + PERF_NOTES.md).
+        def encode(table, prim, bias):
+            return hash_encode_sorted(table, prim, bias, pts, anc)
+
+    feats = encode(params.global_feat, statics.global_prim,
+                   statics.global_bias)
     if stage == STAGE_BLOCK:
         # Global branch frozen in focal stage (nerfacto_field.py:460-461);
         # stop_gradient additionally prunes its (large) backward scatter.
         feats = jax.lax.stop_gradient(feats)
         table = (active_table if active_table is not None
                  else params.block_feats[active_block])
-        feats = feats + hash_encode_sorted(
+        feats = feats + encode(
             table,
             statics.block_prims[active_block],
             statics.block_biases[active_block],
-            pts, anc,
         )
 
     h = apply_mlp(params.base_net, feats)
@@ -250,4 +280,43 @@ def field_rgb(
         x = apply_mlp(params.mlp_semantics, sem_in)
         logits = apply_mlp(params.semantics_head, x)
         out["semantics"] = logits.reshape(*lead_shape, cfg.num_semantic_classes)
+    return out
+
+
+def field_rgb_per_ray(
+    params: FieldParams,
+    cfg: FieldConfig,
+    dirs_ray: jnp.ndarray,          # (R, 3) unit view dirs (one per ray)
+    geo_feat: jnp.ndarray,          # (R, S, geo_feat_dim)
+    rel_ray: jnp.ndarray,           # (R,) int32 appearance index per ray
+    stage: int,
+):
+    """Color head for the dense (R, S) path.
+
+    Direction SH features and the appearance embedding are constant along a
+    ray; evaluating them per *ray* and broadcasting turns the per-sample
+    embedding gather (whose backward is an R*S-row scatter at ~25 M rows/s)
+    into an R-row one plus a cheap sum-over-samples.
+    """
+    r, s, _ = geo_feat.shape
+    d_enc = sh_encode_deg4(dirs_ray)                    # (R, 16)
+    if cfg.use_appearance_embedding:
+        emb = params.appearance_embedding[rel_ray]      # (R, D)
+    else:
+        emb = jnp.zeros((r, cfg.appearance_embedding_dim), jnp.float32)
+    ray_feats = jnp.concatenate([d_enc, emb], axis=-1)  # (R, 16 + D)
+    h = jnp.concatenate(
+        [jnp.broadcast_to(ray_feats[:, None, :16], (r, s, 16)),
+         geo_feat,
+         jnp.broadcast_to(ray_feats[:, None, 16:],
+                          (r, s, ray_feats.shape[-1] - 16))],
+        axis=-1,
+    ).reshape(r * s, -1)
+    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid")
+    out = {"rgb": rgb.reshape(r, s, 3)}
+    if cfg.use_semantics:
+        sem_in = jax.lax.stop_gradient(geo_feat.reshape(r * s, -1))
+        x = apply_mlp(params.mlp_semantics, sem_in)
+        logits = apply_mlp(params.semantics_head, x)
+        out["semantics"] = logits.reshape(r, s, cfg.num_semantic_classes)
     return out

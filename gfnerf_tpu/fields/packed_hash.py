@@ -1,0 +1,259 @@
+"""Packed (supercell) anchored hash encoding — the TPU-native fast layout.
+
+The reference's hash grid (``gfnerf/bindings/field/Hash3DAnchored_cuda.cu``)
+does 8 independent table lookups per (point, level) — one per interpolation
+corner.  On GPU those are cheap (coalesced loads + fp16 ``atomicAdd`` for the
+backward).  On TPU, random-row gathers are *row-count bound* (~100-370 M
+rows/s regardless of width up to 512 B, measured on v5e; PERF_NOTES.md) and
+there are no scatter atomics at all, so the corner-per-row layout wastes the
+memory system 8x.
+
+This module trades hash granularity for row width: the table is keyed by
+*supercell* (a cube of ``pack``^3 grid cells) and each row stores the feature
+vectors of the supercell's full corner lattice ``(pack+1)^3 x C``, padded to
+``row_width``.  One gather per (point, level) fetches every corner needed for
+trilinear interpolation — 8x fewer rows at the same quality-relevant total
+parameter count, and wide (512 B) rows run at the gather sweet spot.
+
+Trade-offs vs the exact layout (``hash_encoding.py``, kept as the parity
+config):
+- corner features are shared *within* a supercell but duplicated *across*
+  supercell boundaries, so the encoding is C0-discontinuous at every
+  ``pack``-th cell boundary (the exact layout is discontinuous only at hash
+  collisions);
+- hash collisions operate at supercell granularity: colliding supercells
+  share their whole lattice.
+
+Anchoring is unchanged: per-(level, volume) primes and bias offsets
+(Hash3DAnchored.cpp:39-62) decorrelate octree-leaf volumes.
+
+Backward design (TPU has no atomics; XLA scatter-add runs at ~12-25 M rows/s
+and XLA cumsum at ~2.9 ns/elem is 50x off memory speed):
+  per level —
+  1. sort the point->row keys with an iota payload (~1.3 ns/key),
+  2. gather the (P, row_width) weight-outer-grad payloads in sorted order
+     (wide rows -> gather sweet spot),
+  3. inclusive prefix sum over sorted payloads via *block triangular matmuls*
+     on the MXU (chunked_prefix below) — the only fast prefix on this chip,
+  4. one int32 scatter-max of run-end positions (the single narrow scatter),
+  5. dense grad rows = prefix difference at run boundaries (two wide gathers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfnerf_tpu.fields.hash_encoding import _level_scales, _random_primes
+
+
+def pack_for_channels(n_channels: int, row_width: int = 128) -> int:
+    """Largest supercell edge whose corner lattice fits in ``row_width``."""
+    pack = 1
+    while (pack + 2) ** 3 * n_channels <= row_width:
+        pack += 1
+    return pack
+
+
+def init_packed_hash_params(
+    seed: int,
+    n_rows_log2: int,
+    n_volumes: int,
+    n_levels: int,
+    n_channels: int,
+    row_width: int = 128,
+    init_mode: str = "reset",
+    rand_bias: bool = True,
+):
+    """Build (feat_pool, prim_pool, bias_pool) for the packed layout.
+
+    feat_pool: (n_levels, n_rows, row_width) f32 — learnable
+    prim_pool: (n_levels, n_volumes, 3) uint32 — fixed
+    bias_pool: (n_levels, n_volumes, 3) f32 — fixed
+    """
+    pack = pack_for_channels(n_channels, row_width)
+    lattice = (pack + 1) ** 3
+    assert lattice * n_channels <= row_width
+    n_rows = 1 << n_rows_log2
+    rng = np.random.default_rng(seed)
+    primes = _random_primes(rng, 3 * n_levels * n_volumes).reshape(
+        n_levels, n_volumes, 3
+    )
+    if rand_bias:
+        bias = (rng.random((n_levels, n_volumes, 3)) * 1000.0 + 100.0).astype(
+            np.float32
+        )
+    else:
+        bias = np.zeros((n_levels, n_volumes, 3), dtype=np.float32)
+    if init_mode == "zero":
+        feat = np.zeros((n_levels, n_rows, row_width), dtype=np.float32)
+    elif init_mode == "reset":
+        feat = rng.uniform(
+            -1e-2, 1e-2, (n_levels, n_rows, row_width)
+        ).astype(np.float32)
+    else:
+        raise ValueError(init_mode)
+    return jnp.asarray(feat), jnp.asarray(primes), jnp.asarray(bias)
+
+
+def _lattice_keys_weights(pt, pack):
+    """Per-level supercell decomposition.
+
+    pt: (P, 3) continuous grid coords (already scaled + biased).
+    Returns (sup (P,3) int32 supercell coords, wgt (P, (pack+1)^3) trilinear
+    weights over the supercell corner lattice — nonzero only at the 8 corners
+    of the cell containing pt).
+    """
+    cell_f = jnp.floor(pt)
+    frac = pt - cell_f                       # (P, 3) in [0, 1)
+    cell = cell_f.astype(jnp.int32)
+    sup = jnp.floor_divide(cell, pack)       # (P, 3)
+    local = cell - sup * pack                # (P, 3) in [0, pack)
+    e = pack + 1
+    u = jnp.arange(e, dtype=jnp.int32)[None, :]           # (1, e)
+    # per-dim weight over lattice positions: (1-f) at local, f at local+1
+    def dim_w(k):
+        lk = local[:, k:k + 1]
+        fk = frac[:, k:k + 1]
+        return (u == lk) * (1.0 - fk) + (u == lk + 1) * fk  # (P, e)
+    wx, wy, wz = dim_w(0), dim_w(1), dim_w(2)
+    wgt = (wx[:, :, None, None] * wy[:, None, :, None]
+           * wz[:, None, None, :]).reshape(pt.shape[0], e ** 3)
+    return sup, wgt
+
+
+def _hash_rows(sup, prim, n_rows):
+    """Supercell XOR hash (Hash3DAnchored_cuda.cu:48-55 scheme)."""
+    s = sup.astype(jnp.uint32)
+    h = (s[:, 0] * prim[:, 0]) ^ (s[:, 1] * prim[:, 1]) ^ (s[:, 2] * prim[:, 2])
+    return (h & jnp.uint32(n_rows - 1)).astype(jnp.int32)
+
+
+def packed_hash_encode_raw(
+    feat_pool: jnp.ndarray,   # (L, n_rows, row_width) f32
+    prim_pool: jnp.ndarray,   # (L, V, 3) uint32
+    bias_pool: jnp.ndarray,   # (L, V, 3) f32
+    points: jnp.ndarray,      # (P, 3) f32, normalized ((warp+1.5)/3)
+    anchors: jnp.ndarray,     # (P,) int32 volume index; < 0 -> masked output
+    n_channels: int,
+    pack: int,
+) -> jnp.ndarray:
+    """Forward packed encoding. Returns (P, L * n_channels)."""
+    n_levels, n_rows, row_width = feat_pool.shape
+    n_volumes = prim_pool.shape[1]
+    lattice = (pack + 1) ** 3
+    valid = (anchors >= 0)[:, None]
+    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
+    scales = _level_scales(n_levels)
+    outs = []
+    for l in range(n_levels):
+        pt = points * scales[l] + bias_pool[l][vol]
+        sup, wgt = _lattice_keys_weights(pt, pack)
+        h = _hash_rows(sup, prim_pool[l][vol], n_rows)
+        rows = feat_pool[l][h][:, : lattice * n_channels]
+        rows = rows.reshape(-1, lattice, n_channels)
+        outs.append(jnp.einsum("po,poc->pc", wgt, rows))
+    return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
+
+
+def chunked_prefix(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 of (N, W), N % chunk == 0.
+
+    XLA's native cumsum on TPU runs at ~2.9 ns/element (sequential sublane
+    shifts); this does the intra-block prefix as a lower-triangular matmul on
+    the MXU and only a (N/chunk, W) cumsum for the carries.
+    """
+    n, w = x.shape
+    rem = (-n) % chunk
+    if rem:
+        x = jnp.pad(x, ((0, rem), (0, 0)))
+    nb = (n + rem) // chunk
+    xb = x.reshape(nb, chunk, w)
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.bfloat16))
+    intra = jax.lax.dot_general(
+        tri, xb.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # (chunk, nb, w)
+    intra = jnp.moveaxis(intra, 0, 1)            # (nb, chunk, w)
+    totals = intra[:, -1, :]                     # (nb, w)
+    carry = jnp.cumsum(totals, axis=0) - totals  # exclusive over blocks
+    return (intra + carry[:, None, :]).reshape(nb * chunk, w)[:n]
+
+
+def _sorted_segment_rows(keys, payload, n_rows):
+    """Dense (n_rows, W) sums of payload rows grouped by keys in [0, n_rows).
+
+    sort + MXU prefix + run-end diff; the only scatter is one int32
+    scatter-max of run-end positions.
+    """
+    p = keys.shape[0]
+    skeys, perm = jax.lax.sort(
+        (keys, jnp.arange(p, dtype=jnp.int32)), dimension=0, num_keys=1
+    )
+    spay = payload[perm]                         # (P, W) wide gather
+    prefix = chunked_prefix(spay)                # (P, W) f32
+    is_end = jnp.concatenate([skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
+    pos1 = jnp.arange(1, p + 1, dtype=jnp.int32)
+    endpos = jnp.zeros((n_rows,), jnp.int32).at[
+        jnp.where(is_end, skeys, n_rows)
+    ].max(jnp.where(is_end, pos1, 0), mode="drop")
+    fill = jax.lax.cummax(endpos)                # previous present run end
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), fill[:-1]])
+    p_end = prefix[jnp.maximum(endpos - 1, 0)]
+    p_prev = jnp.where((prev > 0)[:, None],
+                       prefix[jnp.maximum(prev - 1, 0)], 0.0)
+    return jnp.where((endpos > 0)[:, None], p_end - p_prev, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def packed_hash_encode(feat_pool, prim_pool, bias_pool, points, anchors,
+                       n_channels, pack):
+    return packed_hash_encode_raw(feat_pool, prim_pool, bias_pool, points,
+                                  anchors, n_channels, pack)
+
+
+def _phe_fwd(feat_pool, prim_pool, bias_pool, points, anchors, n_channels,
+             pack):
+    out = packed_hash_encode_raw(feat_pool, prim_pool, bias_pool, points,
+                                 anchors, n_channels, pack)
+    return out, (feat_pool.shape, prim_pool, bias_pool, points, anchors)
+
+
+def _phe_bwd(n_channels, pack, res, g):
+    feat_shape, prim_pool, bias_pool, points, anchors = res
+    n_levels, n_rows, row_width = feat_shape
+    n_volumes = prim_pool.shape[1]
+    p = points.shape[0]
+    lattice = (pack + 1) ** 3
+    valid = (anchors >= 0).astype(points.dtype)
+    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
+    scales = jnp.asarray(_level_scales(n_levels))
+    g = g.reshape(p, n_levels, n_channels)
+
+    def level_fn(carry, xs):
+        prim_l, bias_l, scale_l, g_l = xs
+        pt = points * scale_l + bias_l[vol]
+        sup, wgt = _lattice_keys_weights(pt, pack)
+        h = _hash_rows(sup, prim_l[vol], n_rows)
+        wgt = wgt * valid[:, None]
+        payload = (wgt[:, :, None] * g_l[:, None, :]).reshape(
+            p, lattice * n_channels
+        )
+        if lattice * n_channels < row_width:
+            payload = jnp.pad(
+                payload, ((0, 0), (0, row_width - lattice * n_channels))
+            )
+        return carry, _sorted_segment_rows(h, payload, n_rows)
+
+    _, grads = jax.lax.scan(
+        level_fn, None,
+        (prim_pool, bias_pool, scales, jnp.moveaxis(g, 1, 0)),
+    )
+    return (grads, None, None, None, None)
+
+
+packed_hash_encode.defvjp(_phe_fwd, _phe_bwd)

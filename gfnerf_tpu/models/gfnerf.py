@@ -37,6 +37,7 @@ from gfnerf_tpu.fields.field import (
     FieldStatics,
     field_density,
     field_rgb,
+    field_rgb_per_ray,
 )
 from gfnerf_tpu.model_components.losses import charbonnier_loss, mse_loss, s3im_loss
 from gfnerf_tpu.model_components.renderers import (
@@ -177,10 +178,8 @@ def model_forward(
             params, statics, field_cfg, warp, samples.trans_idx,
             stage, active_block, active_table=active_table,
         )
-        dirs = jnp.broadcast_to(rays_d[:, None, :], samples.world_pts.shape)
-        rel = jnp.broadcast_to(rel_camera_indices[:, None],
-                               samples.trans_idx.shape)
-        heads = field_rgb(params, field_cfg, dirs, geo, rel, stage)
+        heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
+                                  rel_camera_indices, stage)
 
     # fused Pallas compositing (weights + alphas + rgb + acc + depth in one
     # VMEM pass); falls back to the jnp path off-TPU or on unsupported shapes
@@ -214,8 +213,20 @@ def make_train_step(
     stage: int,
 ):
     """Build the jitted train step for one stage (init or block)."""
+    body = _train_step_body(field_cfg, model_cfg, sampler_cfg, tx, stage)
+    return functools.partial(jax.jit, donate_argnums=(0, 2))(body)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 2))
+
+def _train_step_body(
+    field_cfg: FieldConfig,
+    model_cfg: GFNeRFModelConfig,
+    sampler_cfg: SamplerConfig,
+    tx: optax.GradientTransformation,
+    stage: int,
+):
+    """The un-jitted single-step computation (shared by the jitted
+    single-step and the scanned multi-step wrappers)."""
+
     def train_step(
         state: TrainState,
         statics: FieldStatics,
@@ -338,6 +349,44 @@ def make_train_step(
         return new_state, oct_dev, metrics, err
 
     return train_step
+
+
+def make_multi_train_step(
+    field_cfg: FieldConfig,
+    model_cfg: GFNeRFModelConfig,
+    sampler_cfg: SamplerConfig,
+    tx: optax.GradientTransformation,
+    stage: int,
+    n_steps: int,
+):
+    """K train steps per dispatch via ``lax.scan``.
+
+    Host->device dispatch through the runtime costs ~100 ms per call in this
+    environment; scanning K steps inside one compiled program amortizes it.
+    Semantically identical to K calls of the single step: batches are stacked
+    along a leading (K, ...) axis, per-step march fineness is passed as a
+    (K,) array (it is a deterministic host schedule), and the per-step error
+    vectors come back stacked for the focal-stage error-map writeback.
+    """
+    step_fn_inner = _train_step_body(field_cfg, model_cfg, sampler_cfg, tx,
+                                     stage)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def multi_step(state, statics, oct_dev, cameras, batches, finenesses,
+                   active_block, rng):
+        def body(carry, xs):
+            st, od, key = carry
+            batch, fineness = xs
+            key, sub = jax.random.split(key)
+            st, od, metrics, err = step_fn_inner(
+                st, statics, od, cameras, batch, fineness, active_block, sub)
+            return (st, od, key), (metrics, err)
+        (state, oct_dev, _), (metrics, errs) = jax.lax.scan(
+            body, (state, oct_dev, rng), (batches, finenesses),
+            length=n_steps)
+        return state, oct_dev, metrics, errs
+
+    return multi_step
 
 
 def make_render_fn(

@@ -59,6 +59,8 @@ class GFNerfPipelineConfig:
     field_log2_hashmap_size: int = 21
     field_num_levels: int = 16
     field_features_per_level: int = 2
+    field_hash_layout: str = "anchored"   # "anchored" | "packed" (fields/packed_hash.py)
+    field_packed_rows_log2: int = 15
     field_hidden_dim: int = 128
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
@@ -115,6 +117,8 @@ class GFNerfPipeline:
             use_appearance_embedding=config.use_appearance_embedding,
             use_semantics=mcfg.use_semantics,
             camera_opt_mode=config.camera_opt_mode,
+            hash_layout=config.field_hash_layout,
+            packed_rows_log2=config.field_packed_rows_log2,
         )
         params, self.statics = init_field_params(self.field_cfg,
                                                  seed=config.seed)
