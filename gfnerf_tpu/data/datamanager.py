@@ -106,16 +106,11 @@ class GFNerfDataManager:
             self.config.eval_num_rays_per_batch, seed=self.seed + 1
         )
 
-    def setup_train_split_oct(self, camera_labels: Optional[np.ndarray],
-                              cur_split_idx: int,
-                              sample_tmp_dir: Optional[str]):
-        """Switch the active focal split (base_datamanager.py:783-861)."""
-        if self.split_idx == cur_split_idx:
-            return
-        assert camera_labels is not None
-        self.split_idx = cur_split_idx
+    def _build_split(self, camera_labels: np.ndarray, cur_split_idx: int,
+                     sample_tmp_dir: Optional[str],
+                     num_rays_per_batch: Optional[int] = None):
+        """(outputs, sel, cache, sampler) for one cluster's focal split."""
         cfg = self.config
-
         error_map_filenames = None
         if sample_tmp_dir is not None and os.path.isdir(sample_tmp_dir):
             npy_dir = Path(sample_tmp_dir) / "npy"
@@ -130,25 +125,68 @@ class GFNerfDataManager:
             outputs.metadata["error_map_filenames"] = [
                 error_map_filenames[i] for i in sel
             ]
-        self.split_outputs = outputs
-        self._split_indices = sel
         dataset = InputDataset(outputs, cfg.camera_res_scale_factor)
-        self.split_cache = ImageCache(
+        cache = ImageCache(
             dataset,
             num_images_to_sample_from=cfg.train_num_images_to_sample_from,
             num_times_to_repeat=cfg.train_num_times_to_repeat_images,
             seed=self.seed + cur_split_idx,
         )
+        n_rays = num_rays_per_batch or cfg.train_num_rays_per_batch
         if error_map_filenames is not None:
-            self.split_pixel_sampler = ErrorPixelSampler(
-                cfg.train_num_rays_per_batch, seed=self.seed)
+            sampler = ErrorPixelSampler(n_rays, seed=self.seed)
         elif cfg.semantic_sample_weights is not None:
-            self.split_pixel_sampler = SemanticPixelSampler(
-                cfg.train_num_rays_per_batch,
-                class_weights=cfg.semantic_sample_weights, seed=self.seed)
+            sampler = SemanticPixelSampler(
+                n_rays, class_weights=cfg.semantic_sample_weights,
+                seed=self.seed)
         else:
-            self.split_pixel_sampler = PixelSampler(
-                cfg.train_num_rays_per_batch, cfg.patch_size, seed=self.seed)
+            sampler = PixelSampler(n_rays, cfg.patch_size, seed=self.seed)
+        return outputs, sel, cache, sampler
+
+    def setup_train_split_oct(self, camera_labels: Optional[np.ndarray],
+                              cur_split_idx: int,
+                              sample_tmp_dir: Optional[str]):
+        """Switch the active focal split (base_datamanager.py:783-861)."""
+        if self.split_idx == cur_split_idx:
+            return
+        assert camera_labels is not None
+        self.split_idx = cur_split_idx
+        (self.split_outputs, self._split_indices, self.split_cache,
+         self.split_pixel_sampler) = self._build_split(
+            camera_labels, cur_split_idx, sample_tmp_dir)
+
+    # -------------------------------------------- parallel focal splits ----
+
+    def setup_train_splits_parallel(self, camera_labels: np.ndarray,
+                                    split_indices: List[int],
+                                    sample_tmp_dir: Optional[str],
+                                    num_rays_per_group: int):
+        """Activate several clusters' splits at once (one per block-axis
+        group of the parallel focal step, parallel/sharding.py)."""
+        current = getattr(self, "_parallel_splits", {})
+        new: Dict[int, tuple] = {}
+        for s in split_indices:
+            if s in current:
+                new[s] = current[s]
+            else:
+                new[s] = self._build_split(camera_labels, s, sample_tmp_dir,
+                                           num_rays_per_group)
+        self._parallel_splits = new
+
+    def next_train_parallel(self, step: int,
+                            split_indices: List[int]) -> List[Dict]:
+        """One batch per active split, in split_indices order."""
+        batches = []
+        for s in split_indices:
+            outputs, sel, cache, sampler = self._parallel_splits[s]
+            cache.step()
+            batch = sampler.sample(cache)
+            batch["step"] = np.int32(step)
+            batch["split_idx"] = np.int32(s)
+            batch["_cache"] = cache
+            batch["_outputs"] = outputs
+            batches.append(batch)
+        return batches
 
     # ------------------------------------------------------------ batches ----
 

@@ -158,71 +158,65 @@ def make_parallel_block_step(
     def shard_fn(block_feats, block_prims, block_biases, opt_state_blocks,
                  frozen_params, statics_rep, oct_dev, cameras, batch,
                  fineness, phase, rng):
-        """Runs per (data, block) shard. block_feats: (blocks_per_shard, ...)."""
+        """Runs per (data, block) shard. block_feats: (blocks_per_shard, ...).
+
+        Reuses the single-chip focal model path (``model_forward`` with a
+        per-shard params/statics view whose block axis holds only the local
+        active table), so packed/anchored layouts, the fused compositing
+        kernel, and the Charbonnier+S3IM losses all behave identically to
+        the sequential focal step.
+        """
+        from gfnerf_tpu.cameras.cameras import generate_rays_multi
+        from gfnerf_tpu.model_components.losses import charbonnier_loss, s3im_loss
+        from gfnerf_tpu.models.gfnerf import model_forward, sample_rays
+
         # active local table for this phase of the rotation (phase advances
         # every steps_per_split_dataset steps when n_blocks > mesh block axis)
         local = phase % blocks_per_shard
         feats = block_feats[local]
-        prims = block_prims[local]
-        biases = block_biases[local]
 
-        from gfnerf_tpu.cameras.cameras import generate_rays_multi
-        from gfnerf_tpu.cameras.rays import get_weights_f2nerf
-        from gfnerf_tpu.fields.activations import trunc_exp
-        from gfnerf_tpu.fields.hash_encoding import hash_encode_raw, hash_encode_sorted
-        from gfnerf_tpu.fields.mlp import apply_mlp
-        from gfnerf_tpu.fields.sh_encoding import sh_encode_deg4
-        from gfnerf_tpu.model_components.losses import charbonnier_loss
-        from gfnerf_tpu.model_components.renderers import render_rgb
+        params_view = frozen_params.replace(
+            block_feats=jax.lax.stop_gradient(feats)[None])
+        statics_view = FieldStatics(
+            global_prim=statics_rep.global_prim,
+            global_bias=statics_rep.global_bias,
+            block_prims=block_prims[local][None],
+            block_biases=block_biases[local][None],
+        )
 
         rays = generate_rays_multi(cameras, batch["camera_indices"],
                                    batch["coords"])
         r = batch["coords"].shape[0]
-        noise = ((jax.random.uniform(rng, (r, sampler_cfg.max_samples))
+        k_noise, k_s3im = jax.random.split(rng)
+        noise = ((jax.random.uniform(k_noise, (r, sampler_cfg.max_samples))
                   - 0.5) + 1.0)
-        from gfnerf_tpu.models.gfnerf import sample_rays
-        from gfnerf_tpu.sampler.perssampler import warp_points
-
         samples = sample_rays(oct_dev, rays["origins"], rays["directions"],
                               noise, fineness, sampler_cfg)
-        anc = samples.trans_idx.reshape(-1)
-        if sampler_cfg.march == "fast":
-            n_trans = oct_dev.w2xz.shape[0]
-            warp = warp_points(oct_dev, jnp.clip(anc, 0, n_trans - 1),
-                               samples.world_pts.reshape(-1, 3))
-        else:
-            warp = samples.warp_pts.reshape(-1, 3)
-        pts = (warp + 1.5) / 3.0
-        base_feats = jax.lax.stop_gradient(hash_encode_raw(
-            frozen_params.global_feat, statics_rep.global_prim,
-            statics_rep.global_bias, pts, anc))
+        samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(feats_table):
-            h_feats = base_feats + hash_encode_sorted(
-                feats_table, prims, biases, pts, anc)
-            h = apply_mlp(frozen_params.base_net, h_feats)
-            density = trunc_exp(h[..., 0] + 1.0) * (anc >= 0)
-            density = density.reshape(samples.trans_idx.shape)
-            geo = h[..., 1:]
-            dirs = jnp.broadcast_to(rays["directions"][:, None, :],
-                                    samples.world_pts.shape).reshape(-1, 3)
-            d_enc = sh_encode_deg4(dirs)
-            rel = jnp.broadcast_to(batch["rel_camera_indices"][:, None],
-                                   samples.trans_idx.shape).reshape(-1)
-            emb = frozen_params.appearance_embedding[rel]
-            hh = jnp.concatenate([d_enc, geo, emb], axis=-1)
-            rgb_s = apply_mlp(frozen_params.mlp_head, hh,
-                              output_activation="sigmoid")
-            rgb_s = rgb_s.reshape(*samples.trans_idx.shape, 3)
-            w, _, _ = get_weights_f2nerf(samples.dists, density)
-            rgb = render_rgb(w, rgb_s, model_cfg.background_color)
-            # mean over the data axis within this block group
-            loss = charbonnier_loss(rgb, batch["image"])
-            return loss
+            out = model_forward(
+                params_view, statics_view, field_cfg, model_cfg, samples,
+                rays["directions"], batch["rel_camera_indices"],
+                STAGE_BLOCK, 0, oct_dev=oct_dev,
+                warp_deferred=sampler_cfg.march == "fast",
+                active_table=feats_table,
+            )
+            loss = charbonnier_loss(out["rgb"], batch["image"])
+            if model_cfg.s3im_loss_mult > 0:
+                loss = loss + model_cfg.s3im_loss_mult * s3im_loss(
+                    k_s3im, out["rgb"], batch["image"],
+                    kernel_size=model_cfg.s3im_kernel_size,
+                    stride=model_cfg.s3im_stride,
+                    repeat_time=model_cfg.s3im_repeat_time,
+                    patch_height=model_cfg.s3im_patch_height,
+                )
+            err = jnp.sum(jnp.abs(out["rgb"] - batch["image"]), axis=-1)
+            return loss, err
 
-        loss, grad = jax.value_and_grad(loss_fn)(feats)
+        (loss, err), grad = jax.value_and_grad(loss_fn, has_aux=True)(feats)
         grad = jax.lax.pmean(grad, "data")
-        loss = jax.lax.pmean(loss, "data")
+        loss = jax.lax.pmean(loss, "data")[None]  # (1,) per block group
         opt_local = jax.tree_util.tree_map(lambda x: x[local],
                                            opt_state_blocks)
         updates, opt_local = tx_block.update(grad, opt_local, feats)
@@ -231,7 +225,7 @@ def make_parallel_block_step(
         opt_state_blocks = jax.tree_util.tree_map(
             lambda full, new: full.at[local].set(new),
             opt_state_blocks, opt_local)
-        return block_feats, opt_state_blocks, loss
+        return block_feats, opt_state_blocks, loss, err
 
     pspec_block = P("block")
     pspec_batch = P("data")
@@ -245,7 +239,8 @@ def make_parallel_block_step(
                    ("camera_indices", "rel_camera_indices", "coords",
                     "image")},
                   pspec_rep, pspec_rep, pspec_rep),
-        out_specs=(pspec_block, pspec_block, pspec_rep),
+        out_specs=(pspec_block, pspec_block, P("block"),
+                   P(("block", "data"))),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -68,6 +68,14 @@ class GFNerfPipelineConfig:
     eval_num_rays_per_chunk: int = 2048
     camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
     seed: int = 42
+    parallel_blocks: bool = False
+    """Train the focal residual tables concurrently across a ("data",
+    "block") device mesh (parallel/sharding.py:make_parallel_block_step)
+    instead of the reference's one-block-at-a-time sequence.  Requires
+    >= 2 devices; the block axis takes min(n_blocks, largest divisor of the
+    device count that divides n_blocks)."""
+    parallel_block_axis: int = 0
+    """Block-axis size for parallel_blocks; 0 = auto."""
 
     def build(self, dataparser, base_dir, test_mode="train"):
         return GFNerfPipeline(self, dataparser, base_dir, test_mode)
@@ -153,24 +161,73 @@ class GFNerfPipeline:
         # data-parallel mesh across all local devices (replaces the
         # reference's NCCL DDP, SURVEY.md §2.4): batches are sharded over
         # the "data" axis and XLA inserts the gradient psum over ICI.
+        # With parallel_blocks, the mesh gains a "block" axis: focal
+        # residual tables live sharded across it and train concurrently
+        # (parallel/sharding.py) — the reference's 10 sequential focal
+        # phases collapse to n_blocks/block_axis phases.
         n_dev = len(jax.devices())
+        self._parallel = False
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from gfnerf_tpu.parallel.sharding import (batch_sharding,
-                                                      make_mesh)
+            from gfnerf_tpu.parallel.sharding import make_mesh
 
-            self.mesh = make_mesh(n_dev, 1)
-            self._batch_sharding = batch_sharding(self.mesh)
+            n_block_axis = 1
+            if config.parallel_blocks and mcfg.n_blocks > 1:
+                n_block_axis = config.parallel_block_axis
+                if n_block_axis <= 0:
+                    n_block_axis = max(
+                        b for b in range(1, min(n_dev, mcfg.n_blocks) + 1)
+                        if n_dev % b == 0 and mcfg.n_blocks % b == 0)
+                assert n_dev % n_block_axis == 0
+                assert mcfg.n_blocks % n_block_axis == 0
+                self._parallel = n_block_axis > 1
+            self.mesh = make_mesh(n_dev // n_block_axis, n_block_axis)
+            self.n_block_axis = n_block_axis
+            # init-stage batches shard over every chip (both axes)
+            self._batch_sharding = NamedSharding(self.mesh,
+                                                 P(("data", "block")))
+            if self._parallel:
+                from gfnerf_tpu.parallel.sharding import shard_params
+
+                params2, self.statics = shard_params(self.mesh,
+                                                     self.state.params,
+                                                     self.statics)
+                self.state = self.state.replace(params=params2)
+                rep = NamedSharding(self.mesh, P())
+                put = lambda t: jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), t)
+                self.state = self.state.replace(
+                    opt_state=put(self.state.opt_state),
+                    step=jax.device_put(self.state.step, rep))
+                import optax
+
+                from gfnerf_tpu.parallel.sharding import (
+                    make_parallel_block_step)
+
+                self._tx_block = optax.chain(
+                    optax.scale_by_adam(eps=1e-15),
+                    optax.scale(-5e-3),  # reference block lr (nerfacto.py:471)
+                )
+                self._pb_step = make_parallel_block_step(
+                    self.field_cfg, mcfg, scfg, self._tx_block, self.mesh)
+                self._opt_blocks = None
+                self._pb_batch_sharding = NamedSharding(
+                    self.mesh, P(("block", "data")))
+            else:
+                rep = NamedSharding(self.mesh, P())
+                put = lambda t: jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), t)
+                self.state = put(self.state)
+                self.statics = put(self.statics)
             rep = NamedSharding(self.mesh, P())
             put = lambda t: jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), t)
-            self.state = put(self.state)
-            self.statics = put(self.statics)
             self.sampler.oct_dev = put(self.sampler.oct_dev)
             self.cameras_dev = put(self.cameras_dev)
         else:
             self.mesh = None
+            self.n_block_axis = 1
             self._batch_sharding = None
 
     # --------------------------------------------------------------- train ----
@@ -181,9 +238,71 @@ class GFNerfPipeline:
                 and step < mcfg.steps_perssampler_init)
         return STAGE_INIT if init else STAGE_BLOCK
 
+    # ------------------------------------------- parallel focal helpers ----
+
+    def parallel_phase(self, step: int) -> int:
+        """Rotation phase: with B = n_blocks/block_axis, phase p trains
+        blocks {g*B + p : g in block groups} concurrently."""
+        mcfg = self.config.model
+        bps = mcfg.n_blocks // self.n_block_axis
+        rel = max(step - mcfg.steps_perssampler_init, 0)
+        return (rel // mcfg.steps_per_split_dataset) % bps
+
+    def parallel_active_blocks(self, step: int) -> list:
+        bps = self.config.model.n_blocks // self.n_block_axis
+        p = self.parallel_phase(step)
+        return [g * bps + p for g in range(self.n_block_axis)]
+
+    def _train_parallel_block(self, step: int) -> Dict[str, float]:
+        """One concurrent-blocks focal step (parallel/sharding.py)."""
+        import jax
+
+        blocks = self.parallel_active_blocks(step)
+        batches = self.datamanager.next_train_parallel(step, blocks)
+        caches = [b.pop("_cache") for b in batches]
+        for b in batches:
+            b.pop("_outputs")
+        dev_batch = {
+            k: jax.device_put(
+                jnp.asarray(np.concatenate(
+                    [np.asarray(b[key_src]) for b in batches], axis=0)),
+                self._pb_batch_sharding)
+            for k, key_src in (("camera_indices", "rel_camera_indices"),
+                               ("rel_camera_indices", "rel_camera_indices"),
+                               ("coords", "coords"), ("image", "image"))
+        }
+        fineness = jnp.asarray(self.sampler.fineness(step), jnp.float32)
+        phase = jnp.asarray(self.parallel_phase(step), jnp.int32)
+        self._rng, key = jax.random.split(self._rng)
+        if self._opt_blocks is None:
+            self._opt_blocks = jax.vmap(self._tx_block.init)(
+                self.state.params.block_feats)
+        block_feats, self._opt_blocks, losses, errs = self._pb_step(
+            self.state.params.block_feats, self.statics.block_prims,
+            self.statics.block_biases, self._opt_blocks,
+            self.state.params.replace(block_feats=None), self.statics,
+            self.sampler.oct_dev, self.cameras_dev, dev_batch, fineness,
+            phase, key)
+        self.state = self.state.replace(
+            params=self.state.params.replace(block_feats=block_feats),
+            step=self.state.step + 1)
+        errs_np = np.asarray(errs)
+        r = errs_np.shape[0] // len(blocks)
+        for i, (b, cache) in enumerate(zip(batches, caches)):
+            if cache.error_maps is not None:
+                cache.update_error_map(b["indices"],
+                                       errs_np[i * r:(i + 1) * r])
+        losses_np = np.asarray(losses)
+        return {"loss": float(losses_np.mean()),
+                **{f"block_{blk}_loss": float(l)
+                   for blk, l in zip(blocks, losses_np)}}
+
     @profiler.time_function
     def get_train_loss_dict(self, step: int) -> Dict[str, float]:
         stage = self.stage_of(step)
+        if (stage == STAGE_BLOCK and self._parallel
+                and self.sampler.cameras_labels is not None):
+            return self._train_parallel_block(step)
         batch = self.datamanager.next_train(step)
         cache = batch.pop("_cache")
         batch.pop("_outputs")
@@ -227,6 +346,18 @@ class GFNerfPipeline:
             self.render_init_error_maps(step)
             self.sampler.train_cameras_clustering(mcfg.n_blocks)
             self.sampler.update_block_idxs(self.block_centers)
+        if self.stage_of(step) == STAGE_BLOCK and self._parallel:
+            phase = self.parallel_phase(step)
+            if phase != self._last_split_idx:
+                # fresh per-block optimizer states at each phase rotation
+                # (the sequential path's optimizer swap, nerfacto.py:448-489)
+                self._opt_blocks = None
+                self._last_split_idx = phase
+            self.datamanager.setup_train_splits_parallel(
+                self.sampler.cameras_labels,
+                self.parallel_active_blocks(step), self.sample_tmp_dir,
+                self.config.datamanager.train_num_rays_per_batch)
+            return
         if self.stage_of(step) == STAGE_BLOCK:
             cur = self.sampler.cur_split_idx(step)
             if cur != self._last_split_idx:

@@ -54,6 +54,10 @@ def main(argv=None):
                                  "viewer+tensorboard"])
     parser.add_argument("--load-dir", type=Path, default=None)
     parser.add_argument("--dataparser-scale-factor", type=float, default=None)
+    parser.add_argument("--parallel-blocks", action="store_true",
+                        help="train focal residual tables concurrently "
+                             "across a (data, block) device mesh (needs "
+                             ">= 2 devices; see parallel/sharding.py)")
     args, unknown = parser.parse_known_args(argv)
 
     from gfnerf_tpu.configs.config_io import apply_override
@@ -74,6 +78,8 @@ def main(argv=None):
         config.max_num_iterations = args.max_num_iterations
     if args.load_dir is not None:
         config.load_dir = args.load_dir
+    if args.parallel_blocks:
+        config.pipeline.parallel_blocks = True
 
     # dotted overrides: --a.b.c value
     i = 0
