@@ -526,9 +526,14 @@ class GFNerfPipeline:
         dt = _time.perf_counter() - t0
         pred = out["rgb"]
         mse = float(np.mean((pred - gt) ** 2))
+        from gfnerf_tpu.model_components.lpips import lpips
+
         metrics = {
             "psnr": -10.0 * np.log10(mse + 1e-12),
             "ssim": float(compute_ssim(pred, gt)),
+            # self-consistent perceptual metric; NOT comparable to
+            # pretrained-LPIPS tables (model_components/lpips.py)
+            "lpips": float(lpips(jnp.asarray(pred), jnp.asarray(gt))),
             "num_rays_per_sec": gt.shape[0] * gt.shape[1] / dt,
             "fps": 1.0 / dt,
         }
