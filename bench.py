@@ -69,7 +69,8 @@ def main():
     scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256, locate_iters=12)
     fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
                        num_levels=8, features_per_level=4,
-                       hash_layout="packed", packed_rows_log2=15, n_blocks=2)
+                       hash_layout="packed", packed_rows_log2=15, n_blocks=2,
+                       mlp_dtype="bfloat16")
     mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
                              samples_budget_per_ray=S)
     params, statics = init_field_params(fcfg, seed=0)

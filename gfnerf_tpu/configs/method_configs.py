@@ -135,6 +135,7 @@ def gf_nerf_perf_config() -> TrainerConfig:
     p.field_num_levels = 8
     p.field_features_per_level = 4
     p.field_hash_layout = "packed"
+    p.field_mlp_dtype = "bfloat16"
     # 2^15 rows x 128 f32 = 16 MB/level — the parity config's bytes/level
     p.field_packed_rows_log2 = 15
     p.model.samples_budget_per_ray = 160

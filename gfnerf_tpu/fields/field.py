@@ -48,6 +48,13 @@ STAGE_INIT = 0
 STAGE_BLOCK = 1
 
 
+def _mlp_dt(cfg):
+    """MLP compute dtype: the reference's MLPs ran in fp16 via tcnn
+    FullyFusedMLP (SURVEY N6); bfloat16 is the TPU-native equivalent.
+    Parameters and outputs stay float32 either way."""
+    return jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" else jnp.float32
+
+
 import dataclasses as _dc
 
 
@@ -80,6 +87,7 @@ class FieldConfig:
     (point, level) instead of 8 corner gathers; the TPU-native fast layout
     (fields/packed_hash.py). "anchored" matches the reference's per-corner
     hashing exactly."""
+    mlp_dtype: str = "float32"     # "bfloat16" = fp16-tcnn-class compute (N6)
     packed_rows_log2: int = 15
     packed_row_width: int = 128
 
@@ -245,7 +253,7 @@ def field_density(
             statics.block_biases[active_block],
         )
 
-    h = apply_mlp(params.base_net, feats)
+    h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
     density_before, geo = h[..., :1], h[..., 1:]
     density = trunc_exp(density_before[..., 0] + 1.0)  # nerfacto_field.py:499
     density = density * (anc >= 0)
@@ -272,13 +280,14 @@ def field_rgb(
                         dtype=jnp.float32)
 
     h = jnp.concatenate([d_enc, geo, emb], axis=-1)
-    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid")
+    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid",
+                    compute_dtype=_mlp_dt(cfg))
     out = {"rgb": rgb.reshape(*lead_shape, 3)}
 
     if cfg.use_semantics:
         sem_in = jax.lax.stop_gradient(geo)  # pass_semantic_gradients=False default
-        x = apply_mlp(params.mlp_semantics, sem_in)
-        logits = apply_mlp(params.semantics_head, x)
+        x = apply_mlp(params.mlp_semantics, sem_in, compute_dtype=_mlp_dt(cfg))
+        logits = apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
         out["semantics"] = logits.reshape(*lead_shape, cfg.num_semantic_classes)
     return out
 
@@ -312,11 +321,12 @@ def field_rgb_per_ray(
                           (r, s, ray_feats.shape[-1] - 16))],
         axis=-1,
     ).reshape(r * s, -1)
-    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid")
+    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid",
+                    compute_dtype=_mlp_dt(cfg))
     out = {"rgb": rgb.reshape(r, s, 3)}
     if cfg.use_semantics:
         sem_in = jax.lax.stop_gradient(geo_feat.reshape(r * s, -1))
-        x = apply_mlp(params.mlp_semantics, sem_in)
-        logits = apply_mlp(params.semantics_head, x)
+        x = apply_mlp(params.mlp_semantics, sem_in, compute_dtype=_mlp_dt(cfg))
+        logits = apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
         out["semantics"] = logits.reshape(r, s, cfg.num_semantic_classes)
     return out

@@ -99,6 +99,19 @@ def init_packed_hash_params(
     return jnp.asarray(feat), jnp.asarray(primes), jnp.asarray(bias)
 
 
+def _div_pack(cell, pack):
+    """floor(cell / pack) for non-negative int32 cells, without the slow
+    integer-divide lowering: shift for powers of two, multiply-shift for 3.
+    Grid coords are always positive here (points are normalized to
+    [0.17, 0.83] and the per-volume bias offsets are >= 100)."""
+    if pack & (pack - 1) == 0:
+        return jax.lax.shift_right_logical(cell, pack.bit_length() - 1)
+    if pack == 3:
+        # exact for 0 <= cell < 98304 (fine-level coords top out ~2200)
+        return jax.lax.shift_right_logical(cell * 21846, 16)
+    return jnp.floor_divide(cell, pack)
+
+
 def _lattice_keys_weights(pt, pack):
     """Per-level supercell decomposition.
 
@@ -110,7 +123,7 @@ def _lattice_keys_weights(pt, pack):
     cell_f = jnp.floor(pt)
     frac = pt - cell_f                       # (P, 3) in [0, 1)
     cell = cell_f.astype(jnp.int32)
-    sup = jnp.floor_divide(cell, pack)       # (P, 3)
+    sup = _div_pack(cell, pack)              # (P, 3)
     local = cell - sup * pack                # (P, 3) in [0, pack)
     e = pack + 1
     u = jnp.arange(e, dtype=jnp.int32)[None, :]           # (1, e)
@@ -141,21 +154,32 @@ def packed_hash_encode_raw(
     n_channels: int,
     pack: int,
 ) -> jnp.ndarray:
-    """Forward packed encoding. Returns (P, L * n_channels)."""
+    """Forward packed encoding. Returns (P, L * n_channels).
+
+    The table is gathered through a single *flat bf16 view*: random-row
+    gather throughput on v5e drops ~2.3x once the source array exceeds
+    ~96-128 MB (measured; PERF_NOTES.md), so the f32 parameter table is cast
+    to bf16 (the reference stores its tables in fp16 outright,
+    Hash3DAnchored setup.py:113) and flattened so per-level slicing never
+    re-materializes views of the large parent.
+    """
     n_levels, n_rows, row_width = feat_pool.shape
     n_volumes = prim_pool.shape[1]
     lattice = (pack + 1) ** 3
     valid = (anchors >= 0)[:, None]
     vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
     scales = _level_scales(n_levels)
+    flat = feat_pool.astype(jnp.bfloat16).reshape(n_levels * n_rows,
+                                                  row_width)
     outs = []
     for l in range(n_levels):
         pt = points * scales[l] + bias_pool[l][vol]
         sup, wgt = _lattice_keys_weights(pt, pack)
         h = _hash_rows(sup, prim_pool[l][vol], n_rows)
-        rows = feat_pool[l][h][:, : lattice * n_channels]
+        rows = flat[h + l * n_rows][:, : lattice * n_channels]
         rows = rows.reshape(-1, lattice, n_channels)
-        outs.append(jnp.einsum("po,poc->pc", wgt, rows))
+        outs.append(jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16), rows,
+                               preferred_element_type=jnp.float32))
     return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
 
 
@@ -184,17 +208,24 @@ def chunked_prefix(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     return (intra + carry[:, None, :]).reshape(nb * chunk, w)[:n]
 
 
-def _sorted_segment_rows(keys, payload, n_rows):
+def _sorted_segment_rows(keys, payload, n_rows, payload_fn=None):
     """Dense (n_rows, W) sums of payload rows grouped by keys in [0, n_rows).
 
     sort + MXU prefix + run-end diff; the only scatter is one int32
     scatter-max of run-end positions.
+
+    ``payload_fn``: when given, ``payload`` is a narrow per-row input array
+    and the (wide) prefix payload is computed as ``payload_fn(payload[perm])``
+    — gathering the narrow inputs and recomputing beats gathering wide rows
+    from a >100 MB payload array (the v5e gather source-size cliff).
     """
     p = keys.shape[0]
     skeys, perm = jax.lax.sort(
         (keys, jnp.arange(p, dtype=jnp.int32)), dimension=0, num_keys=1
     )
-    spay = payload[perm]                         # (P, W) wide gather
+    spay = payload[perm]                         # sorted-order gather
+    if payload_fn is not None:
+        spay = payload_fn(spay)
     prefix = chunked_prefix(spay)                # (P, W) f32
     is_end = jnp.concatenate([skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
     pos1 = jnp.arange(1, p + 1, dtype=jnp.int32)
@@ -237,17 +268,34 @@ def _phe_bwd(n_channels, pack, res, g):
     def level_fn(carry, xs):
         prim_l, bias_l, scale_l, g_l = xs
         pt = points * scale_l + bias_l[vol]
-        sup, wgt = _lattice_keys_weights(pt, pack)
+        cell_f = jnp.floor(pt)
+        frac = pt - cell_f
+        cell = cell_f.astype(jnp.int32)
+        sup = _div_pack(cell, pack)
+        local = (cell - sup * pack).astype(jnp.float32)
         h = _hash_rows(sup, prim_l[vol], n_rows)
-        wgt = wgt * valid[:, None]
-        payload = (wgt[:, :, None] * g_l[:, None, :]).reshape(
-            p, lattice * n_channels
-        )
-        if lattice * n_channels < row_width:
-            payload = jnp.pad(
-                payload, ((0, 0), (0, row_width - lattice * n_channels))
-            )
-        return carry, _sorted_segment_rows(h, payload, n_rows)
+        # narrow per-row inputs; the wide (P, row_width) payload is
+        # recomputed AFTER the permutation gather (see _sorted_segment_rows)
+        gv = g_l * valid[:, None]
+        inp = jnp.concatenate([frac, local, gv], axis=-1)   # (P, 6 + C)
+
+        def payload_fn(s):
+            sf, sl, sg = s[:, :3], s[:, 3:6], s[:, 6:]
+            e = pack + 1
+            u = jnp.arange(e, dtype=jnp.float32)[None, :]
+            def dim_w(k):
+                return ((u == sl[:, k:k + 1]) * (1.0 - sf[:, k:k + 1])
+                        + (u == sl[:, k:k + 1] + 1) * sf[:, k:k + 1])
+            wgt = (dim_w(0)[:, :, None, None] * dim_w(1)[:, None, :, None]
+                   * dim_w(2)[:, None, None, :]).reshape(p, e ** 3)
+            pay = (wgt[:, :, None] * sg[:, None, :]).reshape(
+                p, lattice * n_channels)
+            if lattice * n_channels < row_width:
+                pay = jnp.pad(
+                    pay, ((0, 0), (0, row_width - lattice * n_channels)))
+            return pay
+
+        return carry, _sorted_segment_rows(h, inp, n_rows, payload_fn)
 
     _, grads = jax.lax.scan(
         level_fn, None,

@@ -61,6 +61,7 @@ class GFNerfPipelineConfig:
     field_features_per_level: int = 2
     field_hash_layout: str = "anchored"   # "anchored" | "packed" (fields/packed_hash.py)
     field_packed_rows_log2: int = 15
+    field_mlp_dtype: str = "float32"      # "bfloat16" = tcnn-fp16-class compute
     field_hidden_dim: int = 128
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
@@ -127,6 +128,7 @@ class GFNerfPipeline:
             camera_opt_mode=config.camera_opt_mode,
             hash_layout=config.field_hash_layout,
             packed_rows_log2=config.field_packed_rows_log2,
+            mlp_dtype=config.field_mlp_dtype,
         )
         params, self.statics = init_field_params(self.field_cfg,
                                                  seed=config.seed)

@@ -19,25 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_dataparser(name: str, data: Path, scale_factor: float = None):
-    if name == "nerfstudio":
-        from gfnerf_tpu.data.dataparsers.nerfstudio_parser import (
-            NerfstudioDataParser, NerfstudioDataParserConfig)
+    from gfnerf_tpu.data.dataparsers import build_dataparser as _build
 
-        cfg = NerfstudioDataParserConfig(data=data)
-        if scale_factor is not None:
-            cfg.scale_factor = scale_factor
-        return NerfstudioDataParser(cfg)
-    if name == "blender":
-        from gfnerf_tpu.data.dataparsers.blender_parser import (
-            BlenderDataParser, BlenderDataParserConfig)
-
-        return BlenderDataParser(BlenderDataParserConfig(data=data))
-    if name == "minimal":
-        from gfnerf_tpu.data.dataparsers.minimal_parser import (
-            MinimalDataParser, MinimalDataParserConfig)
-
-        return MinimalDataParser(MinimalDataParserConfig(data=data))
-    raise ValueError(f"unknown dataparser {name}")
+    return _build(name, data, scale_factor)
 
 
 def main(argv=None):
@@ -45,7 +29,10 @@ def main(argv=None):
     parser.add_argument("method", help="registered method name (e.g. gf-nerf)")
     parser.add_argument("--data", type=Path, required=True)
     parser.add_argument("--dataparser", default="nerfstudio",
-                        choices=["nerfstudio", "blender", "minimal"])
+                        choices=["nerfstudio", "blender", "minimal",
+                                 "instant-ngp", "dnerf", "scannet",
+                                 "sdfstudio", "phototourism", "sitcoms3d",
+                                 "arkitscenes", "nuscenes", "dycheck"])
     parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
     parser.add_argument("--experiment-name", default=None)
     parser.add_argument("--max-num-iterations", type=int, default=None)

@@ -74,7 +74,10 @@ def test_forward_matches_numpy():
                                  jnp.asarray(anc), C, pack)
     want = _numpy_packed_encode(np.asarray(feat), np.asarray(prim),
                                 np.asarray(bias), pts, anc, C, pack)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    # table + weights pass through bf16 on the gather path (by design —
+    # the reference's tables are fp16)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1.5e-2,
+                               atol=2e-4)
 
 
 def test_chunked_prefix_matches_cumsum():
