@@ -221,6 +221,50 @@ def neus_config() -> TrainerConfig:
     )
 
 
+def nerfplayer_nerfacto_config() -> TrainerConfig:
+    """NeRFPlayer on the nerfacto pipeline: time-conditioned temporal grids
+    (fields/temporal_grid.py) + temporal TV loss."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="nerfplayer-nerfacto",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="nerfplayer-nerfacto",
+                                       train_num_rays_per_batch=4096),
+    )
+
+
+def nerfplayer_ngp_config() -> TrainerConfig:
+    """NeRFPlayer on the instant-NGP pipeline (occupancy grid updated at
+    randomized times + temporal field)."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="nerfplayer-ngp",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="nerfplayer-ngp",
+                                       train_num_rays_per_batch=4096),
+    )
+
+
+def semantic_nerfw_config() -> TrainerConfig:
+    """Semantic NeRF-W: nerfacto + semantics head + CE supervision."""
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+
+    return TrainerConfig(
+        method_name="semantic-nerfw",
+        max_num_iterations=30000,
+        steps_per_eval_image=5000,
+        steps_per_save=2000,
+        pipeline=VanillaPipelineConfig(model_kind="semantic-nerfw",
+                                       train_num_rays_per_batch=4096),
+    )
+
+
 def vanilla_nerf_config() -> TrainerConfig:
     """Original NeRF: frequency encoding + coarse/fine MLPs."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -247,6 +291,9 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "tensorf": tensorf_config,
     "neus": neus_config,
     "vanilla-nerf": vanilla_nerf_config,
+    "nerfplayer-nerfacto": nerfplayer_nerfacto_config,
+    "nerfplayer-ngp": nerfplayer_ngp_config,
+    "semantic-nerfw": semantic_nerfw_config,
 }
 
 descriptions = {

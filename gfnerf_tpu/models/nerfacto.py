@@ -161,6 +161,7 @@ def nerfacto_forward(params, statics, cfg: NerfactoConfig, rng,
     return {
         "rgb": rgb, "accumulation": acc, "depth": depth,
         "weights": weights,
+        "geo": geo.reshape(r, -1, cfg.geo_feat_dim),
         "spacing_starts": out["spacing_starts"],
         "spacing_ends": out["spacing_ends"],
         "weights_list": out["weights_list"],

@@ -54,6 +54,18 @@ class VanillaPipelineConfig:
         default_factory=lambda: __import__(
             "gfnerf_tpu.models.instant_ngp", fromlist=["InstantNGPConfig"]
         ).InstantNGPConfig())
+    nerfplayer: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.nerfplayer", fromlist=["NerfplayerConfig"]
+        ).NerfplayerConfig())
+    nerfplayer_ngp: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.nerfplayer", fromlist=["NerfplayerNGPConfig"]
+        ).NerfplayerNGPConfig())
+    semantic_nerfw: "object" = dataclasses.field(
+        default_factory=lambda: __import__(
+            "gfnerf_tpu.models.semantic_nerfw",
+            fromlist=["SemanticNerfWConfig"]).SemanticNerfWConfig())
 
     def build(self, dataparser, base_dir, test_mode="train"):
         return VanillaPipeline(self, dataparser, base_dir, test_mode)
@@ -131,6 +143,56 @@ class VanillaPipeline:
             self._render = lambda p, ms, rng, o, d, rel: neus_mod.neus_forward(
                 p, mcfg, rng, o, d, train=False)
             self.statics = {}
+        elif kind == "nerfplayer-nerfacto":
+            from gfnerf_tpu.models import nerfplayer as npl
+
+            mcfg = dataclasses.replace(
+                config.nerfplayer,
+                num_images=len(self.train_outputs.cameras))
+            params, statics = npl.init_nerfplayer_params(
+                mcfg, seed=config.seed,
+                camera_times=self.train_outputs.metadata.get("times"))
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: npl.nerfplayer_loss(
+                p, statics, mcfg, rng, o, d, rel, tgt)
+            self._render = lambda p, ms, rng, o, d, rel: npl.nerfplayer_forward(
+                p, statics, mcfg, rng, o, d, rel, train=False)
+            self.statics = statics
+        elif kind == "nerfplayer-ngp":
+            from gfnerf_tpu.models import nerfplayer as npl
+
+            mcfg = dataclasses.replace(
+                config.nerfplayer_ngp,
+                num_images=len(self.train_outputs.cameras))
+            params, statics, self.model_state = (
+                npl.init_nerfplayer_ngp_params(
+                    mcfg, seed=config.seed,
+                    camera_times=self.train_outputs.metadata.get("times")))
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt: (
+                npl.nerfplayer_ngp_loss(p, statics, ms, mcfg, rng, o, d,
+                                        rel, tgt))
+            self._render = lambda p, ms, rng, o, d, rel: (
+                npl.nerfplayer_ngp_forward(p, statics, ms, mcfg, rng, o, d,
+                                           rel, train=False))
+            self.statics = statics
+            self._occ_update = jax.jit(
+                lambda p, ms, rng: npl.update_ngp_occupancy(p, statics, ms,
+                                                            mcfg, rng))
+        elif kind == "semantic-nerfw":
+            from gfnerf_tpu.models import semantic_nerfw as snw
+
+            mcfg = dataclasses.replace(
+                config.semantic_nerfw,
+                num_images=len(self.train_outputs.cameras))
+            params, statics = snw.init_semantic_nerfw_params(
+                mcfg, seed=config.seed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt, sem=None: (
+                snw.semantic_nerfw_loss(p, statics, mcfg, rng, o, d, rel,
+                                        tgt, semantics=sem))
+            self._render = lambda p, ms, rng, o, d, rel: (
+                snw.semantic_nerfw_forward(p, statics, mcfg, rng, o, d, rel,
+                                           train=False))
+            self.statics = statics
+            self._wants_semantics = True
         elif kind == "vanilla-nerf":
             mcfg = config.vanilla
             params = nerfacto_mod.init_vanilla_params(mcfg, seed=config.seed)
@@ -151,11 +213,18 @@ class VanillaPipeline:
         self.opt_state = self.tx.init(params)
         self.step_count = jnp.asarray(0, jnp.int32)
 
+        wants_sem = getattr(self, "_wants_semantics", False)
+
         @jax.jit
-        def train_step(params, model_state, opt_state, rng, o, d, rel, tgt):
-            (total, (losses, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, model_state, rng, o, d, rel,
-                                       tgt)
+        def train_step(params, model_state, opt_state, rng, o, d, rel, tgt,
+                       sem=None):
+            args = (params, model_state, rng, o, d, rel, tgt)
+            if wants_sem:
+                (total, (losses, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(*args, sem)
+            else:
+                (total, (losses, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(*args)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             mse = jnp.mean((out["rgb"] - tgt) ** 2) if isinstance(out, dict) \
@@ -184,11 +253,14 @@ class VanillaPipeline:
             self._rng, okey = jax.random.split(self._rng)
             self.model_state = self._occ_update(self.params,
                                                 self.model_state, okey)
+        sem = (jnp.asarray(batch["semantics"])
+               if getattr(self, "_wants_semantics", False)
+               and "semantics" in batch else None)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.model_state, self.opt_state, key,
             rays["origins"], rays["directions"],
             jnp.asarray(batch["rel_camera_indices"]),
-            jnp.asarray(batch["image"]))
+            jnp.asarray(batch["image"]), sem)
         return {k: float(v) for k, v in metrics.items()}
 
     def after_train_iteration(self, step: int):

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Quality-evidence run (VERDICT r1 item 4): train gf-nerf on the most
+realistic scene obtainable offline (textured ground + procedurally textured
+spheres, two camera rings) and record eval PSNR/SSIM/LPIPS
+
+- against the trivial predictors (mean-image / black-image PSNR),
+- at the init->focal transition vs the end (the focal stage must improve
+  on the global stage),
+- for the parity (anchored) and perf (packed) hash layouts.
+
+Usage: python scripts/quality_run.py [--config parity|perf] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_scene(tmp: Path, n_train=72, n_val=6, img_wh=(160, 120)):
+    from gfnerf_tpu.utils.synthetic import render_textured_scene, ring_cameras
+
+    total = n_train + n_val
+    # two rings at different radii/heights for parallax
+    c2w1, fx1, fy1, cx1, cy1, w, h = ring_cameras(
+        total // 2, radius=4.0, height=1.2, img_wh=img_wh, focal=110.0)
+    c2w2, fx2, fy2, cx2, cy2, _, _ = ring_cameras(
+        total - total // 2, radius=5.5, height=2.4, img_wh=img_wh,
+        focal=110.0)
+    c2w = np.concatenate([c2w1, c2w2])
+    fx = np.concatenate([fx1, fx2]); fy = np.concatenate([fy1, fy2])
+    cx = np.concatenate([cx1, cx2]); cy = np.concatenate([cy1, cy2])
+    imgs = render_textured_scene(c2w, fx, fy, cx, cy, w, h)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(total)
+    tr, va = perm[:n_train], perm[n_train:]
+    tmp.mkdir(parents=True, exist_ok=True)
+    for split, idx in (("train", tr), ("val", va)):
+        np.savez(tmp / f"{split}.npz",
+                 images=imgs[idx], c2w=c2w[idx],
+                 fx=fx[idx], fy=fy[idx], cx=cx[idx], cy=cy[idx],
+                 width=np.full(len(idx), w), height=np.full(len(idx), h))
+    return imgs[va]
+
+
+def trivial_baselines(val_imgs):
+    out = {}
+    for name, pred in (("black", np.zeros_like(val_imgs[0])),
+                       ("mean", val_imgs.mean(axis=(0, 1, 2),
+                                              keepdims=True)[0])):
+        mses = [(np.mean((img - pred) ** 2)) for img in val_imgs]
+        out[f"{name}_psnr"] = float(np.mean(
+            [-10 * np.log10(m + 1e-12) for m in mses]))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="perf", choices=["parity", "perf"])
+    ap.add_argument("--out", type=Path,
+                    default=Path("/tmp/quality_results.json"))
+    ap.add_argument("--scene-dir", type=Path,
+                    default=Path("/tmp/quality_scene"))
+    ap.add_argument("--init-steps", type=int, default=None)
+    ap.add_argument("--split-steps", type=int, default=None)
+    args = ap.parse_args()
+
+    from gfnerf_tpu.configs.method_configs import gf_nerf_config
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.engine.trainer import Trainer
+
+    scene = args.scene_dir
+    if not (scene / "train.npz").exists():
+        print("building scene ...", flush=True)
+        build_scene(scene)
+    val_imgs = np.load(scene / "val.npz")["images"]
+    base = trivial_baselines(val_imgs)
+    print("trivial baselines:", base, flush=True)
+
+    cfg = gf_nerf_config()
+    p = cfg.pipeline
+    if args.config == "perf":
+        init_steps = args.init_steps or 1600
+        split_steps = args.split_steps or 700
+        p.field_num_levels = 8
+        p.field_features_per_level = 4
+        p.field_hash_layout = "packed"
+        p.field_packed_rows_log2 = 15
+        p.field_mlp_dtype = "bfloat16"
+        p.model.samples_budget_per_ray = 160
+        p.sampler.max_samples = 160
+    else:
+        init_steps = args.init_steps or 1000
+        split_steps = args.split_steps or 500
+        p.field_log2_hashmap_size = 19
+        p.model.samples_budget_per_ray = 192
+        p.sampler.max_samples = 512
+    n_blocks = 2
+    p.model.n_blocks = n_blocks
+    p.model.n_split_dataset = n_blocks
+    p.model.steps_perssampler_init = init_steps
+    p.model.steps_per_split_dataset = split_steps
+    p.model.scale_factor = 1.0
+    p.datamanager.n_split_dataset = n_blocks
+    p.datamanager.steps_per_split_dataset = split_steps
+    p.datamanager.steps_perssampler_init = init_steps
+    p.datamanager.train_num_rays_per_batch = 4096
+    p.optimizers.steps_perssampler_init = init_steps
+    p.optimizers.steps_per_split_dataset = split_steps
+    p.optimizers.n_split_dataset = n_blocks
+    p.sampler.sub_div_milestones = (init_steps // 8, init_steps // 4,
+                                    init_steps // 2)
+    p.sampler.ray_march_fineness_decay_end_iter = init_steps
+    p.camera_bounds = (0.01, 50.0)
+    cfg.max_num_iterations = init_steps + n_blocks * split_steps
+    cfg.steps_per_eval_batch = 10 ** 9
+    cfg.steps_per_eval_image = 10 ** 9
+    cfg.steps_per_save = 10 ** 9
+    cfg.vis = "local"
+    cfg.data = scene
+    cfg.output_dir = Path("/tmp/quality_out") / args.config
+    cfg.experiment_name = f"quality-{args.config}"
+
+    parser = MinimalDataParser(MinimalDataParserConfig(data=scene))
+    trainer = Trainer(cfg, parser)
+    trainer.setup()
+    pipe = trainer.pipeline
+
+    results = {"config": args.config, "baselines": base,
+               "init_steps": init_steps, "split_steps": split_steps}
+    t0 = time.time()
+    milestones = {init_steps: "after_init",
+                  cfg.max_num_iterations: "final"}
+    step = 0
+    while step < cfg.max_num_iterations:
+        m = pipe.get_train_loss_dict(step)
+        pipe.after_train_iteration(step)
+        step += 1
+        if step % 200 == 0:
+            print(f"step {step}: loss {m.get('loss', float('nan')):.4f} "
+                  f"({(time.time()-t0)/60:.1f} min)", flush=True)
+        if step in milestones:
+            em = pipe.get_average_eval_image_metrics(step)
+            results[milestones[step]] = em
+            print(f"== {milestones[step]} eval @{step}: {em}", flush=True)
+            args.out.write_text(json.dumps(results, indent=2))
+    results["minutes"] = (time.time() - t0) / 60
+    args.out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
