@@ -51,6 +51,7 @@ class TrainerConfig:
     load_dir: Optional[Path] = None
     load_step: Optional[int] = None
     vis: str = "tensorboard"
+    viewer_port: int = 7007
     data: Optional[Path] = None
     mixed_precision: bool = False
     pipeline: GFNerfPipelineConfig = dataclasses.field(
@@ -89,6 +90,24 @@ class Trainer:
 
         if cfg.load_dir is not None:
             self._load_checkpoint()
+
+        # viewer during training (reference trainer.py:294 updates the
+        # viewer from the train loop; here the HTTP orbit viewer serves
+        # progressive renders from a daemon thread between steps —
+        # render requests serialize with train steps on the device queue)
+        self.viewer = None
+        if "viewer" in cfg.vis:
+            import threading
+
+            from gfnerf_tpu.viewer.server import ViewerServer
+
+            self.viewer = ViewerServer(self.pipeline,
+                                       port=cfg.viewer_port)
+            t = threading.Thread(target=self.viewer.serve_forever,
+                                 daemon=True)
+            t.start()
+            print(f"viewer: http://localhost:{cfg.viewer_port} "
+                  "(renders live during training)")
 
     # ---------------------------------------------------------------- loop ----
 

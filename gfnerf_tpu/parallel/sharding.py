@@ -54,6 +54,49 @@ def make_mesh(n_data: int, n_block: int = 1,
     return Mesh(devs, axis_names=("data", "block"))
 
 
+# ------------------------------------------------------------ multi-host ----
+
+
+def initialize_multihost(coordinator_address: str, num_processes: int,
+                         process_id: int):
+    """Multi-host bring-up (replaces the reference's
+    ``dist.init_process_group(backend="nccl", init_method=dist_url)``,
+    scripts/train.py:124-137): after this, ``jax.devices()`` spans every
+    host and meshes/collectives are global."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh(n_block: int = 1) -> Mesh:
+    """Global ("data", "block") mesh laid out for the GF-NeRF traffic
+    pattern: the focal block axis is *embarrassingly parallel* (no
+    cross-block reduction, see make_parallel_block_step), so it is placed
+    ACROSS hosts — block traffic rides the (absent) DCN for free — while the
+    data axis, whose gradient psum runs every step, stays WITHIN each
+    host's ICI domain.
+    """
+    devices = np.asarray(jax.devices())
+    n_proc = jax.process_count()
+    per_host = devices.size // n_proc
+    if n_block <= 1:
+        return make_mesh(devices.size, 1, devices)
+    # order devices host-major, then fold the block axis over hosts
+    by_host = sorted(devices.reshape(-1),
+                     key=lambda d: (d.process_index, d.id))
+    grid = np.asarray(by_host).reshape(n_proc, per_host)
+    assert (n_proc * per_host) % n_block == 0
+    if n_proc % n_block == 0:
+        # block spans whole hosts (ideal: zero inter-block traffic on DCN)
+        devs = grid.reshape(n_block, (n_proc // n_block) * per_host).T
+    else:
+        devs = grid.reshape(-1)[: (devices.size // n_block) * n_block]
+        devs = devs.reshape(-1, n_block)
+    return Mesh(devs, axis_names=("data", "block"))
+
+
 def param_shardings(mesh: Mesh, params: FieldParams) -> FieldParams:
     """NamedShardings: block tables sharded over "block", rest replicated."""
     rep = NamedSharding(mesh, P())

@@ -31,6 +31,13 @@ from gfnerf_tpu.utils import profiler
 class VanillaPipelineConfig:
     model_kind: str = "nerfacto"       # "nerfacto" | "vanilla-nerf"
     train_num_rays_per_batch: int = 4096
+    dynamic_batch: bool = False
+    """DynamicBatchPipeline equivalent (reference pipelines/dynamic_batch.py:
+    40-105): retarget rays/batch so total evaluated samples stays near
+    target_num_samples.  TPU adaptation: the ray count is bucketed to powers
+    of two so XLA compiles at most a handful of batch shapes instead of
+    retracing every step."""
+    target_num_samples: int = 1 << 18
     eval_num_rays_per_chunk: int = 4096
     lr_init: float = 1e-2
     lr_final: float = 1e-4
@@ -232,6 +239,9 @@ class VanillaPipeline:
                     (out["fine"]["rgb"] - tgt) ** 2)
             metrics = {"loss": total, **losses,
                        "psnr": -10.0 * jnp.log10(mse + 1e-12)}
+            if isinstance(out, dict) and "keep_frac" in out:
+                metrics["num_samples_per_batch"] = (
+                    out["keep_frac"] * out["weights"].size)
             return params, opt_state, metrics
 
         self._train_step = train_step
@@ -261,7 +271,21 @@ class VanillaPipeline:
             rays["origins"], rays["directions"],
             jnp.asarray(batch["rel_camera_indices"]),
             jnp.asarray(batch["image"]), sem)
-        return {k: float(v) for k, v in metrics.items()}
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if self.config.dynamic_batch and "num_samples_per_batch" in metrics:
+            self._retarget_batch_size(metrics["num_samples_per_batch"])
+            metrics["num_rays_per_batch"] = self.pixel_sampler.num_rays_per_batch
+        return metrics
+
+    def _retarget_batch_size(self, num_samples: float):
+        """dynamic_batch.py:72-77 scaling, bucketed to powers of two within
+        [256, configured batch] to bound XLA recompilations."""
+        cur = self.pixel_sampler.num_rays_per_batch
+        want = cur * self.config.target_num_samples / max(num_samples, 1.0)
+        bucket = 1 << max(8, int(np.log2(max(want, 1.0))))
+        bucket = min(bucket, self.config.train_num_rays_per_batch)
+        if bucket != cur:
+            self.pixel_sampler.set_num_rays_per_batch(bucket)
 
     def after_train_iteration(self, step: int):
         pass

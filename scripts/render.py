@@ -45,6 +45,48 @@ def cameras_from_camera_path(path_json: dict):
     )
 
 
+def spiral_cameras(cams, steps: int = 30, radius: float = 0.1,
+                   rots: int = 2, zrate: float = 0.5):
+    """Spiral trajectory around the first eval camera (reference
+    nerfstudio/cameras/camera_paths.py:150-215): local circular offsets with
+    a z oscillation, each looking at a point `focal` units down the start
+    camera's -z axis, composed with the start camera's pose."""
+    import numpy as np
+
+    from gfnerf_tpu.data.dataparsers.base import CamerasHost
+
+    def viewmatrix(lookdir, up, position):
+        vec2 = lookdir / np.linalg.norm(lookdir)
+        vec0 = np.cross(up, vec2)
+        vec0 = vec0 / np.linalg.norm(vec0)
+        vec1 = np.cross(vec2, vec0)
+        vec1 = vec1 / np.linalg.norm(vec1)
+        return np.stack([vec0, vec1, vec2, position], axis=1)
+
+    c2w0 = np.asarray(cams.camera_to_worlds[0])
+    up = c2w0[:3, 2]
+    focal = float(min(cams.fx[0], cams.fy[0]))
+    target = np.array([0.0, 0.0, -focal])
+    c2wh0 = np.concatenate([c2w0, [[0, 0, 0, 1]]], axis=0)
+    poses = []
+    for theta in np.linspace(0.0, 2 * np.pi * rots, steps + 1)[:-1]:
+        center = np.array([np.cos(theta), -np.sin(theta),
+                           -np.sin(theta * zrate)]) * radius
+        lookat = center - target
+        local = viewmatrix(lookat, up, center)
+        localh = np.concatenate([local, [[0, 0, 0, 1]]], axis=0)
+        poses.append((c2wh0 @ localh)[:3, :4])
+    n = len(poses)
+    rep = lambda v: np.full(n, v)
+    return CamerasHost(
+        camera_to_worlds=np.stack(poses).astype(np.float32),
+        fx=rep(float(cams.fx[0])), fy=rep(float(cams.fy[0])),
+        cx=rep(float(cams.cx[0])), cy=rep(float(cams.cy[0])),
+        width=np.full(n, int(cams.width[0]), np.int32),
+        height=np.full(n, int(cams.height[0]), np.int32),
+    )
+
+
 def interpolate_cameras(cams, steps_per_transition: int = 10):
     """Interpolated trajectory through the eval cameras (render.py traj
     'interpolate')."""
@@ -75,6 +117,8 @@ def main(argv=None):
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--traj", default="spiral",
                         choices=["spiral", "interpolate", "filename"])
+    parser.add_argument("--spiral-steps", type=int, default=30)
+    parser.add_argument("--spiral-radius", type=float, default=0.1)
     parser.add_argument("--camera-path-filename", type=Path, default=None)
     parser.add_argument("--output-path", type=Path, default=Path("renders"))
     parser.add_argument("--output-format", default="images",
@@ -97,8 +141,11 @@ def main(argv=None):
         cams = cameras_from_camera_path(path_json)
     else:
         eval_cams = pipeline.datamanager.eval_dataparser_outputs.cameras
-        cams = interpolate_cameras(eval_cams) if args.traj == "interpolate" \
-            else eval_cams
+        if args.traj == "interpolate":
+            cams = interpolate_cameras(eval_cams)
+        else:
+            cams = spiral_cameras(eval_cams, steps=args.spiral_steps,
+                                  radius=args.spiral_radius)
 
     import imageio.v2 as imageio
 

@@ -41,11 +41,25 @@ def main(argv=None):
                                  "viewer+tensorboard"])
     parser.add_argument("--load-dir", type=Path, default=None)
     parser.add_argument("--dataparser-scale-factor", type=float, default=None)
+    parser.add_argument("--num-machines", type=int, default=1,
+                        help="multi-host: total process count "
+                             "(reference scripts/train.py:146-214)")
+    parser.add_argument("--machine-rank", type=int, default=0)
+    parser.add_argument("--dist-url", default="",
+                        help="coordinator address host:port for "
+                             "jax.distributed.initialize")
     parser.add_argument("--parallel-blocks", action="store_true",
                         help="train focal residual tables concurrently "
                              "across a (data, block) device mesh (needs "
                              ">= 2 devices; see parallel/sharding.py)")
     args, unknown = parser.parse_known_args(argv)
+
+    if args.num_machines > 1:
+        from gfnerf_tpu.parallel.sharding import initialize_multihost
+
+        assert args.dist_url, "--dist-url required with --num-machines > 1"
+        initialize_multihost(args.dist_url.replace("tcp://", ""),
+                             args.num_machines, args.machine_rank)
 
     from gfnerf_tpu.configs.config_io import apply_override
     from gfnerf_tpu.configs.method_configs import discover_methods

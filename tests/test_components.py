@@ -308,3 +308,31 @@ def test_nerfstudio_dataparser(tmp_path):
     # auto-scale x scale_factor: max |t| == 10
     assert abs(np.abs(out.cameras.camera_to_worlds[:, :, 3]).max() - 10.0) < 1e-3
     assert out.metadata["global_image_indices"] == list(range(6))
+
+
+def test_dynamic_batch_retarget(tmp_path):
+    """DynamicBatchPipeline equivalent: rays/batch follows the sample count
+    toward the target, bucketed to powers of two."""
+    import numpy as np
+
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
+    from gfnerf_tpu.utils.synthetic import make_synthetic_npz
+
+    path = tmp_path / "scene"
+    make_synthetic_npz(path, n_train=4, n_val=1, img_wh=(16, 12))
+    cfg = VanillaPipelineConfig(model_kind="instant-ngp",
+                                train_num_rays_per_batch=512,
+                                dynamic_batch=True,
+                                target_num_samples=1 << 14)
+    cfg.instant_ngp.num_samples = 32
+    cfg.instant_ngp.grid_resolution = 16
+    cfg.instant_ngp.log2_hashmap_size = 10
+    parser = MinimalDataParser(MinimalDataParserConfig(data=path))
+    pipe = cfg.build(parser, tmp_path / "out")
+    m = pipe.get_train_loss_dict(0)
+    assert "num_rays_per_batch" in m
+    assert pipe.pixel_sampler.num_rays_per_batch & (
+        pipe.pixel_sampler.num_rays_per_batch - 1) == 0  # power of two
+    assert pipe.pixel_sampler.num_rays_per_batch <= 512

@@ -145,3 +145,17 @@ def test_parallel_block_step_trains_only_its_table():
     # frozen params untouched (pure function: inputs unchanged by the call)
     np.testing.assert_array_equal(np.asarray(frozen.global_feat),
                                   np.asarray(params.global_feat))
+
+
+def test_multihost_mesh_layout():
+    """Single-process degenerate check of the DCN-aware mesh builder: with
+    one host, the block axis folds over the local devices and every axis
+    size is consistent."""
+    from gfnerf_tpu.parallel.sharding import make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_block=2)
+    assert set(mesh.axis_names) == {"data", "block"}
+    assert mesh.shape["block"] == 2
+    assert mesh.shape["data"] * 2 <= 8 + 2  # uses the 8 virtual devices
+    mesh1 = make_multihost_mesh(n_block=1)
+    assert mesh1.shape["block"] == 1
