@@ -64,6 +64,23 @@ class PixelSampler:
         return collate_batch(cache, idx)
 
 
+class EquirectangularPixelSampler(PixelSampler):
+    """Uniform-on-sphere sampling for equirectangular images (reference
+    pixel_samplers.py sample_method_equirectangular): latitude rows are
+    drawn with density proportional to sin(theta) -- y = acos(1-2u)/pi --
+    so pole pixels are not oversampled; longitudes stay uniform."""
+
+    def sample_indices(self, cache: ImageCache) -> np.ndarray:
+        k, h, w = cache.images.shape[:3]
+        r = self.num_rays_per_batch
+        ki = self.rng.integers(0, k, r)
+        u = self.rng.random(r)
+        yi = np.minimum((np.arccos(1 - 2 * u) / np.pi * h).astype(np.int64),
+                        h - 1)
+        xi = self.rng.integers(0, w, r)
+        return np.stack([ki, yi, xi], axis=-1)
+
+
 class ErrorPixelSampler(PixelSampler):
     """Error-guided sampler (pixel_samplers.py:594-844).
 

@@ -123,8 +123,12 @@ class VanillaPipeline:
         elif kind == "mipnerf":
             mcfg = config.mipnerf
             params = nerfacto_mod.init_mipnerf_params(mcfg, seed=config.seed)
-            loss_fn = lambda p, ms, rng, o, d, rel, tgt: nerfacto_mod.mipnerf_loss(
-                p, mcfg, rng, o, d, tgt)
+            # cone radii derived from the rays' pixel footprint
+            # (reference rays.py:49 frustum radii; ROADMAP r1 gap closed)
+            loss_fn = lambda p, ms, rng, o, d, rel, tgt, pa=None: (
+                nerfacto_mod.mipnerf_loss(p, mcfg, rng, o, d, tgt,
+                                          pixel_area=pa))
+            self._wants_pixel_area = True
             self._render = lambda p, ms, rng, o, d, rel: nerfacto_mod.mipnerf_forward(
                 p, mcfg, rng, o, d, train=False)["fine"]
             self.statics = {}
@@ -221,14 +225,18 @@ class VanillaPipeline:
         self.step_count = jnp.asarray(0, jnp.int32)
 
         wants_sem = getattr(self, "_wants_semantics", False)
+        wants_pa = getattr(self, "_wants_pixel_area", False)
 
         @jax.jit
         def train_step(params, model_state, opt_state, rng, o, d, rel, tgt,
-                       sem=None):
+                       sem=None, pa=None):
             args = (params, model_state, rng, o, d, rel, tgt)
             if wants_sem:
                 (total, (losses, out)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(*args, sem)
+            elif wants_pa:
+                (total, (losses, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(*args, pa)
             else:
                 (total, (losses, out)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(*args)
@@ -266,11 +274,13 @@ class VanillaPipeline:
         sem = (jnp.asarray(batch["semantics"])
                if getattr(self, "_wants_semantics", False)
                and "semantics" in batch else None)
+        pa = (rays.get("pixel_area")
+              if getattr(self, "_wants_pixel_area", False) else None)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.model_state, self.opt_state, key,
             rays["origins"], rays["directions"],
             jnp.asarray(batch["rel_camera_indices"]),
-            jnp.asarray(batch["image"]), sem)
+            jnp.asarray(batch["image"]), sem, pa)
         metrics = {k: float(v) for k, v in metrics.items()}
         if self.config.dynamic_batch and "num_samples_per_batch" in metrics:
             self._retarget_batch_size(metrics["num_samples_per_batch"])

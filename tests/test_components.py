@@ -336,3 +336,29 @@ def test_dynamic_batch_retarget(tmp_path):
     assert pipe.pixel_sampler.num_rays_per_batch & (
         pipe.pixel_sampler.num_rays_per_batch - 1) == 0  # power of two
     assert pipe.pixel_sampler.num_rays_per_batch <= 512
+
+
+def test_equirect_pixel_sampler(tmp_path):
+    """Latitude distribution must follow sin(theta): mid rows sampled more
+    than pole rows."""
+    import numpy as np
+
+    from gfnerf_tpu.data.dataset import ImageCache, InputDataset
+    from gfnerf_tpu.data.pixel_samplers import EquirectangularPixelSampler
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.utils.synthetic import make_synthetic_npz
+
+    path = tmp_path / "scene"
+    make_synthetic_npz(path, n_train=2, n_val=1, img_wh=(64, 64))
+    parser = MinimalDataParser(MinimalDataParserConfig(data=path))
+    ds = InputDataset(parser.get_dataparser_outputs("train"))
+    cache = ImageCache(ds, seed=0)
+    s = EquirectangularPixelSampler(20000, seed=0)
+    idx = s.sample_indices(cache)
+    ys = idx[:, 1]
+    h = 64
+    pole = np.sum((ys < h // 8) | (ys >= h - h // 8))
+    mid = np.sum((ys >= 3 * h // 8) & (ys < 5 * h // 8))
+    assert mid > 2 * pole
+    assert ys.min() >= 0 and ys.max() < h
