@@ -2,10 +2,13 @@
 """Convert captured data into a trainable nerfstudio-format dataset.
 
 Equivalent of the reference's ``scripts/process_data.py`` /
-``nerfstudio/process_data/``: currently supports an existing COLMAP
-reconstruction (``images-colmap``) and video frame extraction (``video``,
-via cv2).  Running COLMAP itself is out of scope for this environment
-(no COLMAP binary); point ``--colmap-model-dir`` at a sparse model.
+``nerfstudio/process_data/``: supports an existing COLMAP
+reconstruction (``images-colmap``), video frame extraction (``video``, via
+cv2), and the polycam / record3d / metashape / realitycapture capture
+formats (gfnerf_tpu/process_data/converters.py).  Running COLMAP itself is
+out of scope for this environment (no COLMAP binary); point
+``--colmap-model-dir`` at a sparse model.  hloc / insta360 need external
+tools absent here and raise with instructions.
 """
 
 from __future__ import annotations
@@ -20,13 +23,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("mode", choices=["images-colmap", "video"])
+    parser.add_argument("mode", choices=["images-colmap", "video",
+                                         "polycam", "record3d", "metashape",
+                                         "realitycapture"])
     parser.add_argument("--data", type=Path, required=True,
                         help="image dir (images-colmap) or video file")
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--colmap-model-dir", type=Path, default=None,
                         help="COLMAP sparse model dir (cameras/images .bin|.txt)")
     parser.add_argument("--num-frames-target", type=int, default=300)
+    parser.add_argument("--metadata", type=Path, default=None,
+                        help="record3d metadata.json / metashape cameras.xml"
+                             " / realitycapture csv")
     args = parser.parse_args(argv)
 
     out = args.output_dir
@@ -41,6 +49,59 @@ def main(argv=None):
 
         n = colmap_to_json(args.colmap_model_dir, out)
         print(f"wrote transforms.json with {n} frames to {out}")
+    elif args.mode == "polycam":
+        from gfnerf_tpu.process_data.converters import polycam_to_json
+
+        # polycam export layout: keyframes/images + keyframes/cameras
+        img_dir = args.data / "keyframes" / "images"
+        cam_dir = args.data / "keyframes" / "cameras"
+        imgs = sorted(img_dir.iterdir())
+        img_out = out / "images"
+        img_out.mkdir(exist_ok=True)
+        for i, f in enumerate(imgs):
+            shutil.copy(f, img_out / f"frame_{i+1:05d}{f.suffix}")
+        for line in polycam_to_json(imgs, cam_dir, out):
+            print(line)
+    elif args.mode == "record3d":
+        import numpy as np
+
+        from gfnerf_tpu.process_data.converters import record3d_to_json
+
+        assert args.metadata is not None, "--metadata metadata.json required"
+        img_dir = args.data
+        imgs = sorted(img_dir.iterdir())
+        img_out = out / "images"
+        img_out.mkdir(exist_ok=True)
+        rels = []
+        for i, f in enumerate(imgs):
+            dst = img_out / f"frame_{i+1:05d}{f.suffix}"
+            shutil.copy(f, dst)
+            rels.append(Path("images") / dst.name)
+        n = record3d_to_json(rels, args.metadata, out,
+                             np.arange(len(rels)))
+        print(f"wrote transforms.json with {n} frames")
+    elif args.mode == "metashape":
+        from gfnerf_tpu.process_data.converters import metashape_to_json
+
+        assert args.metadata is not None, "--metadata cameras.xml required"
+        img_out = out / "images"
+        if not img_out.exists():
+            shutil.copytree(args.data, img_out)
+        fmap = {f.stem: Path("images") / f.name
+                for f in sorted(img_out.iterdir())}
+        for line in metashape_to_json(fmap, args.metadata, out):
+            print(line)
+    elif args.mode == "realitycapture":
+        from gfnerf_tpu.process_data.converters import realitycapture_to_json
+
+        assert args.metadata is not None, "--metadata poses.csv required"
+        img_out = out / "images"
+        if not img_out.exists():
+            shutil.copytree(args.data, img_out)
+        fmap = {f.stem: Path("images") / f.name
+                for f in sorted(img_out.iterdir())}
+        for line in realitycapture_to_json(fmap, args.metadata, out):
+            print(line)
     elif args.mode == "video":
         import cv2
 
