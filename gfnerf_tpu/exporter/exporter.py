@@ -105,6 +105,179 @@ def export_camera_poses(pipeline, output_path: Path):
 # self-contained marching cubes (15-degree lookup via edge interpolation on
 # the 256-case table would be long; use the surface-nets style dual approach
 # which needs no table and produces a watertight quad mesh)
+def integrate_tsdf(voxel_origin, voxel_size, dims, c2w, K, depth, color=None,
+                   tsdf=None, weights=None, colors=None,
+                   truncation_margin: float = 5.0):
+    """Projective TSDF integration of one depth (+color) image
+    (reference exporter/tsdf_utils.py:170-273): project every voxel into the
+    camera, bilinear-free nearest-depth lookup, truncated signed distance
+    ``(depth - voxel_z) / trunc`` clamped to [-1, 1], running weighted
+    average of values and colors."""
+    nx, ny, nz = dims
+    if tsdf is None:
+        tsdf = np.ones(dims, np.float32)
+        weights = np.zeros(dims, np.float32)
+        colors = np.zeros((*dims, 3), np.float32)
+    grid = np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                                indexing="ij"), -1).reshape(-1, 3)
+    pts = voxel_origin[None] + (grid + 0.5) * voxel_size[None]
+    w2c = np.linalg.inv(np.concatenate(
+        [c2w, [[0, 0, 0, 1]]], axis=0) if c2w.shape[0] == 3 else c2w)
+    cam = (w2c[:3, :3] @ pts.T + w2c[:3, 3:4]).T       # (N, 3)
+    z = -cam[:, 2]                                     # -z forward
+    uv = (K @ np.stack([cam[:, 0], -cam[:, 1], z], 0)).T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = uv[:, 0] / uv[:, 2]
+        v = uv[:, 1] / uv[:, 2]
+    h, w = depth.shape[:2]
+    ui = np.clip(u, 0, w - 1).astype(np.int32)
+    vi = np.clip(v, 0, h - 1).astype(np.int32)
+    valid = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    d_img = depth[vi, ui]
+    valid &= d_img > 0
+    trunc = truncation_margin * float(voxel_size[0])
+    sdf = np.clip((d_img - z) / trunc, -1.0, 1.0)
+    upd = valid & (sdf > -1.0)
+    sdf = np.where(upd, sdf, 0.0)
+    wnew = upd.astype(np.float32)
+    tsdf_f = tsdf.reshape(-1)
+    w_f = weights.reshape(-1)
+    c_f = colors.reshape(-1, 3)
+    wsum = w_f + wnew
+    safe = np.maximum(wsum, 1e-9)
+    tsdf_f[:] = np.where(upd, (tsdf_f * w_f + sdf * wnew) / safe, tsdf_f)
+    if color is not None:
+        cimg = color[vi, ui]
+        c_f[:] = np.where(upd[:, None],
+                          (c_f * w_f[:, None] + cimg * wnew[:, None])
+                          / safe[:, None], c_f)
+    w_f[:] = wsum
+    return tsdf, weights, colors
+
+
+def export_tsdf_mesh(render_camera_fn, cameras, aabb: np.ndarray,
+                     resolution: int, output_path: Path,
+                     downscale: int = 4, num_views: int = None) -> int:
+    """TSDF-fusion mesh export (reference exporter/tsdf_utils.py:274-340):
+    render depth+rgb from the training cameras, fuse into a voxel TSDF,
+    extract the zero crossing with the surface-nets extractor, write OBJ
+    with per-vertex colors."""
+    lo, hi = np.asarray(aabb[0], np.float64), np.asarray(aabb[1], np.float64)
+    dims = (resolution,) * 3
+    voxel_size = (hi - lo) / resolution
+    tsdf = weights = colors = None
+    n = len(cameras) if num_views is None else min(num_views, len(cameras))
+    step = max(len(cameras) // n, 1)
+    for i in range(0, len(cameras), step):
+        out = render_camera_fn(cameras, i, downscale=downscale)
+        depth = np.asarray(out["depth"])[..., 0]
+        rgb = np.asarray(out["rgb"])
+        K = np.array([[cameras.fx[i] / downscale, 0,
+                       cameras.cx[i] / downscale],
+                      [0, cameras.fy[i] / downscale,
+                       cameras.cy[i] / downscale],
+                      [0, 0, 1]], np.float64)
+        tsdf, weights, colors = integrate_tsdf(
+            lo, voxel_size, dims, np.asarray(cameras.camera_to_worlds[i]),
+            K, depth, rgb, tsdf, weights, colors)
+    observed = weights > 0
+    field = np.where(observed, tsdf, 1.0)
+
+    # zero-crossing surface via the same surface-nets scheme as the density
+    # mesh, on -tsdf (inside = positive)
+    def fn(pts):
+        ijk = np.clip(((pts - lo[None]) / voxel_size[None] - 0.5), 0,
+                      resolution - 1).astype(np.int32)
+        return -field[ijk[:, 0], ijk[:, 1], ijk[:, 2]]
+
+    n_verts = export_marching_cubes_mesh(fn, np.stack([lo, hi]),
+                                         resolution - 1, 0.0, output_path)
+    return n_verts
+
+
+def export_textured_mesh(verts: np.ndarray, faces: np.ndarray,
+                         render_rays_fn, output_dir: Path,
+                         texture_px_per_face: int = 8,
+                         offset: float = 0.05) -> Path:
+    """Texture a mesh by giving every face its own square texture patch
+    (the reference's per-UV-triangle unwrap, exporter/texture_utils.py:
+    82-216, with quad faces): texel colors come from rendering short rays
+    toward the surface along the face normal, exactly how the reference
+    queries the radiance field for texture. Writes OBJ + MTL + PNG atlas."""
+    import cv2
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    f = np.asarray(faces)
+    v = np.asarray(verts)
+    nf = len(f)
+    ps = texture_px_per_face
+    atlas_cols = int(np.ceil(np.sqrt(nf)))
+    atlas_rows = int(np.ceil(nf / atlas_cols))
+    tex = np.zeros((atlas_rows * ps, atlas_cols * ps, 3), np.float32)
+
+    # face normals (quads assumed planar enough)
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 3 if f.shape[1] == 4 else 2]] - v[f[:, 0]]
+    nrm = np.cross(e1, e2)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12
+
+    uu, vv = np.meshgrid((np.arange(ps) + 0.5) / ps,
+                         (np.arange(ps) + 0.5) / ps, indexing="xy")
+    uu, vv = uu.reshape(-1), vv.reshape(-1)
+    origins, dirs, slots = [], [], []
+    for fi in range(nf):
+        quad = f[fi]
+        if f.shape[1] == 4:
+            p = ((1 - uu)[:, None] * ((1 - vv)[:, None] * v[quad[0]]
+                                      + vv[:, None] * v[quad[3]])
+                 + uu[:, None] * ((1 - vv)[:, None] * v[quad[1]]
+                                  + vv[:, None] * v[quad[2]]))
+        else:
+            w0 = np.clip(1 - uu - vv, 0, None)
+            p = (w0[:, None] * v[quad[0]] + uu[:, None] * v[quad[1]]
+                 + vv[:, None] * v[quad[2]])
+        origins.append(p + offset * nrm[fi])
+        dirs.append(np.tile(-nrm[fi], (len(p), 1)))
+        slots.append(np.full(len(p), fi))
+    origins = np.concatenate(origins)
+    dirs = np.concatenate(dirs)
+    slots = np.concatenate(slots)
+    rgb = np.asarray(render_rays_fn(origins, dirs))    # (N, 3)
+    for fi in range(nf):
+        sel = slots == fi
+        r, c = divmod(fi, atlas_cols)
+        tex[r * ps:(r + 1) * ps, c * ps:(c + 1) * ps] = (
+            rgb[sel].reshape(ps, ps, 3))
+
+    cv2.imwrite(str(output_dir / "texture.png"),
+                (np.clip(tex[::-1], 0, 1) * 255).astype(np.uint8)[..., ::-1])
+    (output_dir / "material.mtl").write_text(
+        "newmtl textured\nmap_Kd texture.png\n")
+    obj = ["mtllib material.mtl", "usemtl textured"]
+    for p in v:
+        obj.append(f"v {p[0]} {p[1]} {p[2]}")
+    th, tw = atlas_rows * ps, atlas_cols * ps
+    for fi in range(nf):
+        r, c = divmod(fi, atlas_cols)
+        x0, y0 = c * ps / tw, r * ps / th
+        x1, y1 = (c + 1) * ps / tw, (r + 1) * ps / th
+        for (x, y) in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+            obj.append(f"vt {x} {y}")
+    for fi, quad in enumerate(f):
+        t0 = 4 * fi + 1
+        if f.shape[1] == 4:
+            obj.append(
+                f"f {quad[0]+1}/{t0} {quad[1]+1}/{t0+1} "
+                f"{quad[2]+1}/{t0+2} {quad[3]+1}/{t0+3}")
+        else:
+            obj.append(f"f {quad[0]+1}/{t0} {quad[1]+1}/{t0+1} "
+                       f"{quad[2]+1}/{t0+2}")
+    out_path = output_dir / "mesh.obj"
+    out_path.write_text("\n".join(obj) + "\n")
+    return out_path
+
+
 def export_marching_cubes_mesh(density_fn, aabb: np.ndarray,
                                resolution: int, threshold: float,
                                output_path: Path, chunk: int = 65536) -> int:
