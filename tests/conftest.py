@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # run on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the smoke tests are dominated by XLA CPU
+# compiles of the train/eval steps (~minutes); caching them makes repeat
+# suite runs fast while first runs are unchanged.
+_cache_dir = os.environ.get("GFNERF_TEST_CACHE",
+                            "/tmp/gfnerf_tpu_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
