@@ -87,6 +87,12 @@ def main():
 
     cfg = gf_nerf_config()
     p = cfg.pipeline
+    # Budget sizing (diagnosed r2): as the march fineness anneals to 1,
+    # rays near the ground plane legitimately need hundreds of samples; a
+    # budget below the marched count truncates far content and train PSNR
+    # DEGRADES once saturated (the reference evaluates every valid sample of
+    # its 1024-slot march). Quality runs therefore use a budget sized to the
+    # scene; the 160-budget flagship remains the throughput config.
     if args.config == "perf":
         init_steps = args.init_steps or 1600
         split_steps = args.split_steps or 700
@@ -95,14 +101,15 @@ def main():
         p.field_hash_layout = "packed"
         p.field_packed_rows_log2 = 15
         p.field_mlp_dtype = "bfloat16"
-        p.model.samples_budget_per_ray = 160
-        p.sampler.max_samples = 160
+        p.model.samples_budget_per_ray = 384
+        p.sampler.max_samples = 384
     else:
-        init_steps = args.init_steps or 1000
-        split_steps = args.split_steps or 500
+        init_steps = args.init_steps or 800
+        split_steps = args.split_steps or 350
         p.field_log2_hashmap_size = 19
-        p.model.samples_budget_per_ray = 192
+        p.model.samples_budget_per_ray = 512
         p.sampler.max_samples = 512
+        p.datamanager.train_num_rays_per_batch = 2048
     n_blocks = 2
     p.model.n_blocks = n_blocks
     p.model.n_split_dataset = n_blocks
@@ -112,7 +119,8 @@ def main():
     p.datamanager.n_split_dataset = n_blocks
     p.datamanager.steps_per_split_dataset = split_steps
     p.datamanager.steps_perssampler_init = init_steps
-    p.datamanager.train_num_rays_per_batch = 4096
+    if args.config == "perf":
+        p.datamanager.train_num_rays_per_batch = 4096
     p.optimizers.steps_perssampler_init = init_steps
     p.optimizers.steps_per_split_dataset = split_steps
     p.optimizers.n_split_dataset = n_blocks
