@@ -144,3 +144,26 @@ def test_fisheye_and_equirect_rays(ring_cameras):
     rays = generate_rays_multi(cams, jnp.zeros(2, jnp.int32), border)
     d = np.asarray(rays["directions"])
     np.testing.assert_allclose(d[0], d[1], atol=1e-4)
+
+
+def test_vis_plots(tmp_path):
+    """Ray/sample visualization dumps (utils/plots.py)."""
+    import numpy as np
+
+    from gfnerf_tpu.utils.plots import vis_rays_obj, vis_samples_ply
+
+    rng = np.random.default_rng(0)
+    o = rng.standard_normal((10, 3)).astype(np.float32)
+    d = rng.standard_normal((10, 3)).astype(np.float32)
+    n = vis_rays_obj(o, d, tmp_path / "rays.obj")
+    assert n == 10
+    txt = (tmp_path / "rays.obj").read_text()
+    assert txt.count("\nl ") == 10 and txt.startswith("v ")
+
+    pts = rng.standard_normal((50, 3))
+    vals = rng.random(50)
+    valid = np.ones(50, bool)
+    valid[::5] = False
+    k = vis_samples_ply(pts, vals, valid, tmp_path / "s.ply")
+    assert k == 40
+    assert "element vertex 40" in (tmp_path / "s.ply").read_text()
