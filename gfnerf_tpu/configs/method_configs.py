@@ -146,6 +146,23 @@ def gf_nerf_perf_config() -> TrainerConfig:
     return cfg
 
 
+def gf_nerf_prop_config() -> TrainerConfig:
+    """gf-nerf with proposal-guided resampling: the marched lattice feeds a
+    cheap density probe whose weights importance-resample 64 fine samples
+    for the main field — crisper geometry than budget-capped dense marching
+    (QUALITY.md finding 1) at fewer main-field hash rows. A TPU-first
+    improvement over the reference's occupancy-only march."""
+    cfg = gf_nerf_perf_config()
+    cfg.method_name = "gf-nerf-prop"
+    p = cfg.pipeline
+    p.field_use_proposal = True
+    p.model.num_proposal_resamples = 64
+    # proposal needs the dense march (budget >= marched slots)
+    p.sampler.max_samples = 256
+    p.model.samples_budget_per_ray = 256
+    return cfg
+
+
 def nerfacto_config() -> TrainerConfig:
     """Stock nerfacto (proposal sampler + hash field, BASELINE configs[0])."""
     from gfnerf_tpu.pipelines.vanilla_pipeline import VanillaPipelineConfig
@@ -285,6 +302,7 @@ method_configs: Dict[str, Callable[[], TrainerConfig]] = {
     "gf-nerf": gf_nerf_config,
     "gf-nerf-tiny": gf_nerf_tiny_config,
     "gf-nerf-perf": gf_nerf_perf_config,
+    "gf-nerf-prop": gf_nerf_prop_config,
     "nerfacto": nerfacto_config,
     "instant-ngp": instant_ngp_config,
     "mipnerf": mipnerf_config,

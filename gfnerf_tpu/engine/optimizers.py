@@ -69,6 +69,9 @@ def field_param_labels(params: FieldParams) -> FieldParams:
                                                params.semantics_head)),
         camera_adjustment=(None if params.camera_adjustment is None
                            else "camera_opt"),
+        prop_feat=None if params.prop_feat is None else "fields",
+        prop_net=(None if params.prop_net is None else
+                  jax.tree_util.tree_map(lab("fields"), params.prop_net)),
     )
 
 
@@ -154,4 +157,8 @@ def mask_frozen_grads(grads: FieldParams, stage: int) -> FieldParams:
                        else zeros(grads.mlp_semantics)),
         semantics_head=(None if grads.semantics_head is None
                         else zeros(grads.semantics_head)),
+        prop_feat=(None if grads.prop_feat is None
+                   else jnp.zeros_like(grads.prop_feat)),
+        prop_net=(None if grads.prop_net is None
+                  else zeros(grads.prop_net)),
     )

@@ -90,6 +90,22 @@ class FieldConfig:
     mlp_dtype: str = "float32"     # "bfloat16" = fp16-tcnn-class compute (N6)
     packed_rows_log2: int = 15
     packed_row_width: int = 128
+    use_proposal: bool = False
+    """Proposal-guided resampling probe (models/gfnerf.py): a tiny packed
+    hash table + 1-layer MLP whose density concentrates the main field's
+    samples at surfaces — the TPU-first answer to the budget-saturation
+    failure mode (QUALITY.md finding 1): crisper geometry AND fewer main
+    field rows than marching densely."""
+    proposal_levels: int = 4
+    proposal_rows_log2: int = 12
+    warp_mode: str = "pers"   # "pers" (f2nerf warp) | "identity" (ablation:
+    # world coords / identity_warp_scale fed to the hash instead of the
+    # per-leaf perspective warp)
+    identity_warp_scale: float = 6.0
+    density_bias: float = 1.0
+    """density = trunc_exp(x + density_bias) (reference hard-codes +1,
+    nerfacto_field.py:499 — the scene starts as e^1 fog that must be carved;
+    negative values start transparent instead)."""
 
 
 @dataclass
@@ -104,6 +120,8 @@ class FieldParams:
     mlp_semantics: Optional[dict] = None
     semantics_head: Optional[dict] = None
     camera_adjustment: Optional[jnp.ndarray] = None  # (num_images, 6) SE3/SO3xR3 tangents
+    prop_feat: Optional[jnp.ndarray] = None   # (L_p, rows, G) packed probe
+    prop_net: Optional[dict] = None
 
 
 @dataclass
@@ -114,6 +132,8 @@ class FieldStatics:
     global_bias: jnp.ndarray            # (L, V, 3) f32
     block_prims: Optional[jnp.ndarray]  # (n_blocks, L, V, 3) uint32
     block_biases: Optional[jnp.ndarray]  # (n_blocks, L, V, 3) f32
+    prop_prim: Optional[jnp.ndarray] = None
+    prop_bias: Optional[jnp.ndarray] = None
 
 
 def init_field_params(cfg: FieldConfig, seed: int = 0):
@@ -173,6 +193,20 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
         mlp_semantics = init_mlp(rng, cfg.geo_feat_dim, 64, 64, 1)
         semantics_head = init_mlp(rng, 64, cfg.num_semantic_classes, 64, 0)
 
+    prop_feat = prop_net = prop_prim = prop_bias = None
+    if cfg.use_proposal:
+        from gfnerf_tpu.fields.packed_hash import init_packed_hash_params
+
+        prop_feat, prop_prim, prop_bias = init_packed_hash_params(
+            seed=int(rng.integers(1 << 31)),
+            n_rows_log2=cfg.proposal_rows_log2,
+            n_volumes=cfg.n_volumes,
+            n_levels=cfg.proposal_levels,
+            n_channels=4,
+            init_mode="reset",
+        )
+        prop_net = init_mlp(rng, cfg.proposal_levels * 4, 1, 16, 1)
+
     camera_adjustment = None
     if cfg.camera_opt_mode != "off":
         from gfnerf_tpu.cameras.camera_optimizers import init_pose_adjustment
@@ -187,12 +221,16 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
         mlp_semantics=mlp_semantics,
         semantics_head=semantics_head,
         camera_adjustment=camera_adjustment,
+        prop_feat=prop_feat,
+        prop_net=prop_net,
     )
     statics = FieldStatics(
         global_prim=g_prim,
         global_bias=g_bias,
         block_prims=block_prims,
         block_biases=block_biases,
+        prop_prim=prop_prim,
+        prop_bias=prop_bias,
     )
     return params, statics
 
@@ -255,7 +293,7 @@ def field_density(
 
     h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
     density_before, geo = h[..., :1], h[..., 1:]
-    density = trunc_exp(density_before[..., 0] + 1.0)  # nerfacto_field.py:499
+    density = trunc_exp(density_before[..., 0] + cfg.density_bias)  # nerfacto_field.py:499
     density = density * (anc >= 0)
     return density.reshape(lead_shape), geo.reshape(*lead_shape, cfg.geo_feat_dim)
 
@@ -330,3 +368,29 @@ def field_rgb_per_ray(
         logits = apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
         out["semantics"] = logits.reshape(r, s, cfg.num_semantic_classes)
     return out
+
+
+def proposal_density(
+    params: FieldParams,
+    statics: FieldStatics,
+    cfg: FieldConfig,
+    warp_pts: jnp.ndarray,   # (..., 3) warped-space points
+    anchors: jnp.ndarray,    # (...,) int32 trans_idx, -1 invalid
+):
+    """Cheap density probe for proposal-guided resampling (tiny packed hash
+    + 1-layer MLP). Same warped coordinate space + anchoring as the main
+    field so the probe shares the octree's spatial decomposition."""
+    from gfnerf_tpu.fields.packed_hash import (
+        pack_for_channels,
+        packed_hash_encode,
+    )
+
+    lead_shape = anchors.shape
+    pts = ((warp_pts + 1.5) / 3.0).reshape(-1, 3)
+    anc = anchors.reshape(-1)
+    pack = pack_for_channels(4, cfg.packed_row_width)
+    feats = packed_hash_encode(params.prop_feat, statics.prop_prim,
+                               statics.prop_bias, pts, anc, 4, pack)
+    h = apply_mlp(params.prop_net, feats, compute_dtype=_mlp_dt(cfg))
+    density = trunc_exp(h[..., 0] + 1.0) * (anc >= 0)
+    return density.reshape(lead_shape)

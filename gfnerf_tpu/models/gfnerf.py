@@ -55,6 +55,13 @@ from gfnerf_tpu.sampler.perssampler import (
 from gfnerf_tpu.utils.structs import dataclass, static_field
 
 
+def _warp_or_identity(field_cfg, oct_dev, anchors_clipped, world_pts):
+    """warp_points, or the identity-warp ablation (FieldConfig.warp_mode)."""
+    if field_cfg.warp_mode == "identity":
+        return jnp.clip(world_pts / field_cfg.identity_warp_scale, -1.5, 1.5)
+    return warp_points(oct_dev, anchors_clipped, world_pts)
+
+
 def sample_rays(oct_dev, rays_o, rays_d, noise_unscaled, fineness,
                 scfg: SamplerConfig):
     """Dispatch between the vectorized leaf-list march ("fast") and the
@@ -92,6 +99,19 @@ class GFNeRFModelConfig:
     s3im_patch_height: int = 32
     use_semantics: bool = False
     semantic_loss_weight: float = 0.0
+    num_proposal_resamples: int = 0
+    """Proposal-guided resampling (> 0 enables; needs
+    FieldConfig.use_proposal): the marched lattice feeds a cheap density
+    probe, whose transmittance weights importance-resample this many fine
+    samples for the main field. Fixes the budget-saturation failure
+    (QUALITY.md finding 1) — samples concentrate at surfaces — while
+    cutting main-field hash rows. A TPU-first improvement over the
+    reference's occupancy-only march."""
+    proposal_interlevel_mult: float = 1.0
+    distortion_loss_mult: float = 0.0
+    """mip-NeRF-360 distortion regularizer on the fine weights (proposal
+    path only): prunes floaters/fog. The reference model lacks it; it is a
+    TPU-repo addition toggled per config."""
     samples_budget_per_ray: int = 256
     """Compaction budget: the field is evaluated only on valid samples,
     gathered into a fixed (R * budget) buffer and scattered back — the TPU
@@ -120,6 +140,8 @@ def model_forward(
     oct_dev: Optional[OctreeDevice] = None,
     warp_deferred: bool = False,
     active_table=None,
+    rays_o: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
 ):
     """Field + compositing for one ray batch (GFNeRFModel.get_outputs,
     nerfacto.py:522-619).
@@ -127,6 +149,10 @@ def model_forward(
     warp_deferred: the fast march leaves warp_pts empty; warped coords are
     computed here (after compaction) from world_pts + trans_idx, cutting the
     warp-table gathers down to the valid subset.
+
+    rays_o + rng enable the proposal-resampling path
+    (num_proposal_resamples > 0): fine sample positions are re-derived from
+    ray origins, and rng stratifies the resampling during training.
     """
     r, s = samples.trans_idx.shape
     n_trans = oct_dev.w2xz.shape[0] if oct_dev is not None else 1
@@ -148,8 +174,8 @@ def model_forward(
         anc_k = jnp.where(pad, -1, samples.trans_idx.reshape(-1)[safe])
         if warp_deferred:
             world_k = samples.world_pts.reshape(-1, 3)[safe]
-            warp_k = warp_points(oct_dev, jnp.clip(anc_k, 0, n_trans - 1),
-                                 world_k)
+            warp_k = _warp_or_identity(
+                field_cfg, oct_dev, jnp.clip(anc_k, 0, n_trans - 1), world_k)
         else:
             warp_k = samples.warp_pts.reshape(-1, 3)[safe]
         density_k, geo_k = field_density(
@@ -166,12 +192,18 @@ def model_forward(
                    .reshape(r, s, *val.shape[1:]))
             for name, val in heads_k.items()
         }
+    elif (model_cfg.num_proposal_resamples > 0
+          and params.prop_feat is not None and rays_o is not None):
+        return _model_forward_proposal(
+            params, statics, field_cfg, model_cfg, samples, rays_o, rays_d,
+            rel_camera_indices, stage, active_block, oct_dev, active_table,
+            rng)
     else:
         if warp_deferred:
             anc = jnp.clip(samples.trans_idx.reshape(-1), 0, n_trans - 1)
-            warp = warp_points(oct_dev, anc,
-                               samples.world_pts.reshape(-1, 3)).reshape(
-                                   r, s, 3)
+            warp = _warp_or_identity(field_cfg, oct_dev, anc,
+                                     samples.world_pts.reshape(-1, 3)
+                                     ).reshape(r, s, 3)
         else:
             warp = samples.warp_pts
         density, geo = field_density(
@@ -197,6 +229,102 @@ def model_forward(
     out = {
         "rgb": rgb, "accumulation": acc, "depth": depth,
         "oct_depth": oct_depth, "weights": weights, "alphas": alphas,
+    }
+    if model_cfg.use_semantics and "semantics" in heads:
+        from gfnerf_tpu.model_components.renderers import render_weighted
+
+        out["semantics"] = render_weighted(weights, heads["semantics"])
+    return out
+
+
+def _model_forward_proposal(params, statics, field_cfg, model_cfg, samples,
+                            rays_o, rays_d, rel_camera_indices, stage,
+                            active_block, oct_dev, active_table, rng):
+    """Proposal-guided resampling on top of the octree march.
+
+    1. the marched lattice (coverage) feeds the cheap probe density,
+    2. its transmittance weights importance-resample K fine samples,
+    3. the main field runs only on the K fine samples (anchors inherited
+       from each fine sample's enclosing marched segment),
+    4. the probe trains against the fine weights via the interlevel loss
+       (out["prop_*"], consumed by the train step).
+    """
+    from gfnerf_tpu.fields.field import proposal_density
+    from gfnerf_tpu.model_components.ray_samplers import pdf_sample
+
+    r, s = samples.trans_idx.shape
+    k = model_cfg.num_proposal_resamples
+    n_trans = oct_dev.w2xz.shape[0]
+
+    # The march emits leaf-ordered lattices whose t values can regress a
+    # little across overlapping leaves; the PDF resampler needs a strictly
+    # ordered histogram, so sort each ray's samples by t (invalid to the
+    # end) and carry anchors/validity/dists along.
+    order = jnp.argsort(jnp.where(samples.valid, samples.ts, jnp.inf),
+                        axis=1)
+    ts_m = jnp.take_along_axis(samples.ts, order, axis=1)
+    de_m = jnp.take_along_axis(samples.dists, order, axis=1)
+    anc_m = jnp.take_along_axis(samples.trans_idx, order, axis=1)
+    valid = jnp.take_along_axis(samples.valid, order, axis=1)
+    world_m = jnp.take_along_axis(
+        samples.world_pts, order[..., None], axis=1)
+
+    anc_flat = jnp.clip(anc_m.reshape(-1), 0, n_trans - 1)
+    warp_m = _warp_or_identity(field_cfg, oct_dev, anc_flat,
+                               world_m.reshape(-1, 3)).reshape(r, s, 3)
+    dens_p = proposal_density(params, statics, field_cfg, warp_m, anc_m)
+
+    # monotone per-ray segment bounds: invalid tail slots collapse to t_max
+    t_max = jnp.max(jnp.where(valid, ts_m + de_m, 0.0),
+                    axis=1, keepdims=True)
+    ts_fix = jnp.where(valid, ts_m, t_max)
+    # enforce monotone bin edges; contiguous bins (end = next start) keep
+    # the histogram well-formed even when leaf lattices overlap slightly
+    ts_fix = jax.lax.cummax(ts_fix, axis=1)
+    de_fix = jnp.where(valid, de_m, 0.0)
+    ends_fix = jnp.concatenate(
+        [ts_fix[:, 1:], ts_fix[:, -1:] + de_fix[:, -1:]], axis=1)
+    w_prop, a_prop, _ = get_weights_f2nerf(de_fix, dens_p)
+
+    bs, be = pdf_sample(rng, ts_fix, ends_fix, w_prop, k)
+    t_f = (bs + be) / 2.0                                  # (R, K)
+    # enclosing marched segment -> anchor (fine ts lie within marched bins)
+    seg = jnp.clip(jnp.sum((t_f[:, :, None] >= ts_fix[:, None, :]),
+                           axis=-1) - 1, 0, s - 1)         # (R, K)
+    anc_f = jnp.take_along_axis(anc_m, seg, axis=1)
+    anc_f = jnp.where(jnp.take_along_axis(valid, seg, axis=1), anc_f, -1)
+    pos_f = rays_o[:, None, :] + t_f[..., None] * rays_d[:, None, :]
+    warp_f = _warp_or_identity(
+        field_cfg, oct_dev, jnp.clip(anc_f.reshape(-1), 0, n_trans - 1),
+        pos_f.reshape(-1, 3)).reshape(r, k, 3)
+
+    density, geo = field_density(
+        params, statics, field_cfg, warp_f, anc_f, stage, active_block,
+        active_table=active_table)
+    heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
+                              rel_camera_indices, stage)
+
+    from gfnerf_tpu.ops.pallas.composite import fused_composite
+
+    weights, alphas, rgb, acc, depth = fused_composite(
+        density, be - bs, t_f, heads["rgb"])
+    if model_cfg.background_color == "white":
+        rgb = rgb + (1.0 - acc)
+    elif model_cfg.background_color == "last_sample":
+        rgb = rgb + (1.0 - acc) * heads["rgb"][..., -1, :]
+    depth = depth / model_cfg.scale_factor
+    oct_depth = samples.first_oct_dis[:, None] / model_cfg.scale_factor
+    out = {
+        "rgb": rgb, "accumulation": acc, "depth": depth,
+        "oct_depth": oct_depth, "weights": weights, "alphas": alphas,
+        # interlevel supervision: probe histogram vs fine weights
+        "prop_weights": w_prop,
+        "prop_spacing": (ts_fix, ends_fix),
+        "fine_spacing": (bs, be),
+        # probe weights live on the marched lattice: the right shape AND
+        # semantics for the octree occupancy statistics
+        "march_weights": w_prop,
+        "march_alphas": a_prop,
     }
     if model_cfg.use_semantics and "semantics" in heads:
         from gfnerf_tpu.model_components.renderers import render_weighted
@@ -240,7 +368,7 @@ def _train_step_body(
         rays = generate_rays_multi(cameras, batch["camera_indices"],
                                    batch["coords"])
         r = batch["coords"].shape[0]
-        k_noise, k_s3im = jax.random.split(rng)
+        k_noise, k_s3im, k_prop = jax.random.split(rng, 3)
         noise = ((jax.random.uniform(k_noise, (r, sampler_cfg.max_samples))
                   - 0.5) + 1.0)  # PersSampler_cuda GetSamples:385-389
         samples = sample_rays(oct_dev, rays["origins"], rays["directions"],
@@ -275,12 +403,27 @@ def _train_step_body(
                 active_table=(active_table
                               if state.params.block_feats is not None
                               else None),
+                rays_o=rays_o, rng=k_prop,
             )
             if model_cfg.use_ch_loss:
                 rgb_loss = charbonnier_loss(out["rgb"], target)
             else:
                 rgb_loss = mse_loss(out["rgb"], target)
             losses = {"rgb_loss": rgb_loss}
+            if "prop_weights" in out:
+                from gfnerf_tpu.model_components.losses import (
+                    distortion_loss, interlevel_loss)
+
+                pb_s, pb_e = out["prop_spacing"]
+                fb_s, fb_e = out["fine_spacing"]
+                losses["interlevel_loss"] = (
+                    model_cfg.proposal_interlevel_mult * interlevel_loss(
+                        out["weights"], fb_s, fb_e,
+                        out["prop_weights"], pb_s, pb_e))
+                if model_cfg.distortion_loss_mult > 0:
+                    losses["distortion_loss"] = (
+                        model_cfg.distortion_loss_mult * distortion_loss(
+                            out["weights"], fb_s, fb_e))
             if model_cfg.s3im_loss_mult > 0:
                 losses["s3im_loss"] = model_cfg.s3im_loss_mult * s3im_loss(
                     k_s3im, out["rgb"], target,
@@ -334,9 +477,12 @@ def _train_step_body(
                                step=state.step + 1)
 
         if stage == STAGE_INIT:
-            # occupancy stats only during init (nerfacto.py:605-614)
-            oct_dev = update_oct_nodes(oct_dev, samples, out["weights"],
-                                       out["alphas"])
+            # occupancy stats only during init (nerfacto.py:605-614);
+            # the proposal path supplies lattice-shaped probe weights
+            oct_dev = update_oct_nodes(
+                oct_dev, samples,
+                out.get("march_weights", out["weights"]),
+                out.get("march_alphas", out["alphas"]))
 
         err = jnp.sum(jnp.abs(out["rgb"] - target), axis=-1)  # gf_pipeline:179
         mse = jnp.mean((out["rgb"] - target) ** 2)
@@ -417,12 +563,14 @@ def make_render_fn(
 
         out_init = model_forward(params, statics, field_cfg, model_cfg,
                                  samples, rays_d, rel, STAGE_INIT, 0,
-                                 oct_dev=oct_dev, warp_deferred=deferred)
+                                 oct_dev=oct_dev, warp_deferred=deferred,
+                                 rays_o=rays_o)
         if field_cfg.n_blocks > 0:
             out_block = model_forward(params, statics, field_cfg, model_cfg,
                                       samples, rays_d, rel, STAGE_BLOCK,
                                       active_block, oct_dev=oct_dev,
-                                      warp_deferred=deferred)
+                                      warp_deferred=deferred,
+                                      rays_o=rays_o)
             out = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(stage_is_block, b, a),
                 out_init, out_block,

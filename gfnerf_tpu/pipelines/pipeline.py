@@ -62,6 +62,11 @@ class GFNerfPipelineConfig:
     field_hash_layout: str = "anchored"   # "anchored" | "packed" (fields/packed_hash.py)
     field_packed_rows_log2: int = 15
     field_mlp_dtype: str = "float32"      # "bfloat16" = tcnn-fp16-class compute
+    field_use_proposal: bool = False      # proposal probe (fields/field.py)
+    field_warp_mode: str = "pers"         # "identity" = world-space ablation
+    field_density_bias: float = 1.0
+    field_proposal_levels: int = 4
+    field_proposal_rows_log2: int = 12
     field_hidden_dim: int = 128
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
@@ -129,6 +134,11 @@ class GFNerfPipeline:
             hash_layout=config.field_hash_layout,
             packed_rows_log2=config.field_packed_rows_log2,
             mlp_dtype=config.field_mlp_dtype,
+            use_proposal=config.field_use_proposal,
+            warp_mode=config.field_warp_mode,
+            density_bias=config.field_density_bias,
+            proposal_levels=config.field_proposal_levels,
+            proposal_rows_log2=config.field_proposal_rows_log2,
         )
         params, self.statics = init_field_params(self.field_cfg,
                                                  seed=config.seed)

@@ -45,6 +45,15 @@ class PersSamplerManagerConfig:
     seed: int = 0
     vis_res_w: int = 128
     n_rand_pts: int = 32 * 32 * 32
+    auto_sample_l: bool = True
+    """Calibrate sample_l at setup with a trial march so the max_samples
+    slot budget actually spans the visible scene. The reference sidesteps
+    this by normalizing every scene with scale_factor=10 and marching 1024
+    slots; with arbitrary scene scales an uncalibrated sample_l silently
+    truncates the march near the camera and the model memorizes
+    view-dependent fog instead of geometry (QUALITY.md finding 3)."""
+    auto_sample_l_fill: float = 0.75
+    """Target slot utilization for the median ray after calibration."""
 
 
 class PersSamplerManager:
@@ -89,13 +98,67 @@ class PersSamplerManager:
         self.oct_dev: OctreeDevice = octree_to_device(self.tree, self.capacity)
         self.cameras_labels: Optional[np.ndarray] = None
 
+        sample_l = config.sample_l
+        if config.auto_sample_l:
+            sample_l = self._calibrate_sample_l(sample_l)
         self.sampler_config = SamplerConfig(
             max_samples=config.max_samples,
-            sample_l=config.sample_l,
+            sample_l=sample_l,
             scale_by_dis=config.scale_by_dis,
             global_near=config.global_near,
             locate_iters=config.max_level + 8,
         )
+
+    def _calibrate_sample_l(self, sample_l0: float, n_rays: int = 256,
+                            iters: int = 6) -> float:
+        """Trial-march a random pixel subset and grow sample_l until the
+        median ray covers its leaf span within the slot budget.
+
+        Never shrinks sample_l below the configured value: finer-than-needed
+        never truncates, it only wastes slots the compaction already
+        handles.
+        """
+        import jax.numpy as jnp
+
+        from gfnerf_tpu.models.gfnerf import sample_rays
+
+        rng = np.random.default_rng(self.cfg.seed)
+        n_cams = len(self.c2w)
+        ki = rng.integers(0, n_cams, n_rays)
+        # random pixels through each chosen camera
+        dirs = []
+        for i, k in enumerate(ki):
+            fx, fy = self.intri[k, 0, 0], self.intri[k, 1, 1]
+            cx, cy = self.intri[k, 0, 2], self.intri[k, 1, 2]
+            px = rng.uniform(0, 2 * cx)
+            py = rng.uniform(0, 2 * cy)
+            d_cam = np.array([(px - cx) / fx, -(py - cy) / fy, -1.0])
+            d = self.c2w[k, :3, :3] @ d_cam
+            dirs.append(d / np.linalg.norm(d))
+        o = jnp.asarray(self.c2w[ki, :, 3])
+        d = jnp.asarray(np.stack(dirs), jnp.float32)
+        s = self.cfg.max_samples
+        fill = self.cfg.auto_sample_l_fill
+        sample_l = float(sample_l0)
+        for _ in range(iters):
+            scfg = SamplerConfig(
+                max_samples=s, sample_l=sample_l,
+                scale_by_dis=self.cfg.scale_by_dis,
+                global_near=self.cfg.global_near,
+                locate_iters=self.cfg.max_level + 8)
+            samples = sample_rays(self.oct_dev, o, d,
+                                  jnp.ones((n_rays, s)),
+                                  jnp.asarray(1.0), scfg)
+            nv = np.asarray(samples.num_valid)
+            med = float(np.median(nv))
+            if med <= fill * s:
+                break
+            # saturated: the median ray wants more length; grow the step
+            sample_l *= (med / (fill * s)) * 1.2
+        if sample_l != sample_l0:
+            print(f"[sampler] auto-calibrated sample_l: {sample_l0:.5f} -> "
+                  f"{sample_l:.5f} (median slots {med:.0f}/{s})")
+        return sample_l
 
     # ------------------------------------------------------------- march ----
 

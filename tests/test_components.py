@@ -362,3 +362,31 @@ def test_equirect_pixel_sampler(tmp_path):
     mid = np.sum((ys >= 3 * h // 8) & (ys < 5 * h // 8))
     assert mid > 2 * pole
     assert ys.min() >= 0 and ys.max() < h
+
+
+def test_auto_sample_l_calibration():
+    """A too-fine sample_l must be grown until the slot budget spans the
+    scene (QUALITY.md finding 3: uncalibrated marches truncate near the
+    camera and the model memorizes fog)."""
+    import numpy as np
+
+    from gfnerf_tpu.sampler.manager import (PersSamplerManager,
+                                            PersSamplerManagerConfig)
+    from tests.conftest import make_ring_cameras
+
+    c2w, intri = make_ring_cameras(16, radius=4.0, img_wh=(32, 24))
+    bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (16, 1))
+    cfg = PersSamplerManagerConfig(
+        max_samples=64, sample_l=1.0 / 1024, max_level=6, bbox_levels=6,
+        n_rand_pts=512, vis_res_w=16, node_capacity=8192,
+        auto_sample_l=True)
+    mgr = PersSamplerManager(c2w, intri, bounds, cfg, 2, 10, 10)
+    assert mgr.sampler_config.sample_l > 1.0 / 1024 * 1.5, (
+        "calibration did not grow a truncating sample_l")
+    # a generous sample_l is left alone
+    cfg2 = PersSamplerManagerConfig(
+        max_samples=1024, sample_l=1.0 / 8, max_level=6, bbox_levels=6,
+        n_rand_pts=512, vis_res_w=16, node_capacity=8192,
+        auto_sample_l=True)
+    mgr2 = PersSamplerManager(c2w, intri, bounds, cfg2, 2, 10, 10)
+    assert mgr2.sampler_config.sample_l == 1.0 / 8
