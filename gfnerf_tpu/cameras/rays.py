@@ -58,6 +58,11 @@ class WarpedSamples:
     valid: jnp.ndarray         # (R, S) bool
     num_valid: jnp.ndarray     # (R,) int32 count of valid samples per ray
     first_oct_dis: jnp.ndarray  # (R,) t of first octree hit (1e9 if none)
+    num_hits: Optional[jnp.ndarray] = None
+    """(R,) int32 count of leaf intersections per ray (fast march only) —
+    BEFORE the max_hits top-k, so num_hits > max_hits flags rays whose
+    farthest leaves were truncated (the reference's bound is 1024
+    intersections/ray, PersSampler_cuda.cu:7-9)."""
 
 
 @dataclass

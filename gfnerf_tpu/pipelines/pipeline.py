@@ -159,14 +159,7 @@ class GFNerfPipeline:
         self._last_split_idx = -1
 
         self.cameras_dev = cams.to_device()
-        scfg = self.sampler.sampler_config
-        self._train_step = {
-            STAGE_INIT: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
-                                        STAGE_INIT),
-            STAGE_BLOCK: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
-                                         STAGE_BLOCK),
-        }
-        self._render_chunk = make_render_fn(self.field_cfg, mcfg, scfg)
+        self._build_step_fns()
         self._rng = jax.random.PRNGKey(config.seed)
         self.sample_tmp_dir: Optional[str] = None
 
@@ -222,7 +215,8 @@ class GFNerfPipeline:
                     optax.scale(-5e-3),  # reference block lr (nerfacto.py:471)
                 )
                 self._pb_step = make_parallel_block_step(
-                    self.field_cfg, mcfg, scfg, self._tx_block, self.mesh)
+                    self.field_cfg, mcfg, self.sampler.sampler_config,
+                    self._tx_block, self.mesh)
                 self._opt_blocks = None
                 self._pb_batch_sharding = NamedSharding(
                     self.mesh, P(("block", "data")))
@@ -241,6 +235,26 @@ class GFNerfPipeline:
             self.mesh = None
             self.n_block_axis = 1
             self._batch_sharding = None
+
+    def _build_step_fns(self):
+        """(Re)build the jitted train/render steps from the manager's
+        current sampler config (max_hits can grow after milestone rebuilds
+        — a static shape, so growth costs one retrace)."""
+        mcfg = self.config.model
+        scfg = self.sampler.sampler_config
+        self._built_sampler_cfg = scfg
+        self._train_step = {
+            STAGE_INIT: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
+                                        STAGE_INIT),
+            STAGE_BLOCK: make_train_step(self.field_cfg, mcfg, scfg, self.tx,
+                                         STAGE_BLOCK),
+        }
+        self._render_chunk = make_render_fn(self.field_cfg, mcfg, scfg)
+        if getattr(self, "_parallel", False):
+            from gfnerf_tpu.parallel.sharding import make_parallel_block_step
+
+            self._pb_step = make_parallel_block_step(
+                self.field_cfg, mcfg, scfg, self._tx_block, self.mesh)
 
     # --------------------------------------------------------------- train ----
 
@@ -345,7 +359,10 @@ class GFNerfPipeline:
 
         # init stage: milestone subdivision / compaction on host
         if stage == STAGE_INIT:
-            self.sampler.maybe_rebuild(step)
+            if (self.sampler.maybe_rebuild(step)
+                    and self.sampler.sampler_config
+                    is not self._built_sampler_cfg):
+                self._build_step_fns()
 
         return {k: float(v) for k, v in metrics.items()}
 
@@ -543,9 +560,10 @@ class GFNerfPipeline:
         metrics = {
             "psnr": -10.0 * np.log10(mse + 1e-12),
             "ssim": float(compute_ssim(pred, gt)),
-            # self-consistent perceptual metric; NOT comparable to
-            # pretrained-LPIPS tables (model_components/lpips.py)
-            "lpips": float(lpips(jnp.asarray(pred), jnp.asarray(gt))),
+            # self-consistent perceptual metric; named _proxy because it is
+            # NOT comparable to pretrained-LPIPS tables
+            # (model_components/lpips.py)
+            "lpips_proxy": float(lpips(jnp.asarray(pred), jnp.asarray(gt))),
             "num_rays_per_sec": gt.shape[0] * gt.shape[1] / dt,
             "fps": 1.0 / dt,
         }

@@ -156,13 +156,14 @@ def get_samples_fast(
             jnp.where(valid, block_s, -1),
             valid,
             first_oct,
+            jnp.sum(hit, axis=1).astype(jnp.int32),  # leaf hits before top-k
         )
 
     o_c = rays_o.reshape(R // B, B, 3)
     d_c = d_all.reshape(R // B, B, 3)
     n_c = noise.reshape(R // B, B, S)
     outs = jax.lax.map(chunk_fn, (o_c, d_c, n_c))
-    world, dists, ts, trans, node, block, valid, first_oct = [
+    world, dists, ts, trans, node, block, valid, first_oct, num_hits = [
         x.reshape((R,) + x.shape[2:]) for x in outs
     ]
     return WarpedSamples(
@@ -176,4 +177,5 @@ def get_samples_fast(
         valid=valid,
         num_valid=jnp.sum(valid, axis=-1).astype(jnp.int32),
         first_oct_dis=first_oct,
+        num_hits=num_hits,
     )

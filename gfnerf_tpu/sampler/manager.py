@@ -54,6 +54,12 @@ class PersSamplerManagerConfig:
     view-dependent fog instead of geometry (QUALITY.md finding 3)."""
     auto_sample_l_fill: float = 0.75
     """Target slot utilization for the median ray after calibration."""
+    max_hits: int = 64
+    """Fast-march per-ray leaf-intersection budget (top-k size). Auto-grown
+    by trial-ray hit counting at setup and after milestone rebuilds, up to
+    the reference's 1024-intersection bound (PersSampler_cuda.cu:7-9), so
+    deep octrees never silently truncate far content (VERDICT r2 weak 4)."""
+    auto_max_hits: bool = True
 
 
 class PersSamplerManager:
@@ -107,7 +113,63 @@ class PersSamplerManager:
             scale_by_dis=config.scale_by_dis,
             global_near=config.global_near,
             locate_iters=config.max_level + 8,
+            max_hits=self._calibrate_max_hits(config.max_hits),
         )
+
+    def _trial_rays(self, n_rays: int):
+        """Random pixels through random train cameras (host numpy)."""
+        rng = np.random.default_rng(self.cfg.seed)
+        n_cams = len(self.c2w)
+        ki = rng.integers(0, n_cams, n_rays)
+        dirs = []
+        for i, k in enumerate(ki):
+            fx, fy = self.intri[k, 0, 0], self.intri[k, 1, 1]
+            cx, cy = self.intri[k, 0, 2], self.intri[k, 1, 2]
+            px = rng.uniform(0, 2 * cx)
+            py = rng.uniform(0, 2 * cy)
+            d_cam = np.array([(px - cx) / fx, -(py - cy) / fy, -1.0])
+            d = self.c2w[k, :3, :3] @ d_cam
+            dirs.append(d / np.linalg.norm(d))
+        return (self.c2w[ki, :, 3].astype(np.float32),
+                np.stack(dirs).astype(np.float32))
+
+    def _count_leaf_hits(self, n_rays: int = 512) -> np.ndarray:
+        """Per-ray count of valid-leaf slab intersections (host numpy) —
+        the quantity the fast march's max_hits top-k truncates."""
+        o, d = self._trial_rays(n_rays)
+        t = self.tree
+        sel = t.is_leaf & (t.trans_idx >= 0)
+        lc = t.centers[sel]
+        ls = t.side_lens[sel]
+        lo = lc - ls[:, None] * 0.5
+        hi = lc + ls[:, None] * 0.5
+        counts = np.zeros(n_rays, np.int64)
+        inv = 1.0 / np.where(np.abs(d) < 1e-10,
+                             np.where(d >= 0, 1e-10, -1e-10), d)
+        for s0 in range(0, n_rays, 64):  # bound the (chunk, L, 3) buffer
+            sl = slice(s0, min(s0 + 64, n_rays))
+            t0 = (lo[None] - o[sl, None]) * inv[sl, None]
+            t1 = (hi[None] - o[sl, None]) * inv[sl, None]
+            near = np.maximum(np.max(np.minimum(t0, t1), -1),
+                              self.cfg.global_near)
+            far = np.min(np.maximum(t0, t1), -1)
+            counts[sl] = (far > near).sum(axis=1)
+        return counts
+
+    def _calibrate_max_hits(self, max_hits0: int) -> int:
+        """Grow max_hits to the trial-ray hit maximum (x1.25 headroom,
+        pow2-rounded, capped at the reference's 1024 bound) so deep trees
+        never silently truncate; never shrinks below the configured value."""
+        if not self.cfg.auto_max_hits:
+            return max_hits0
+        need = int(self._count_leaf_hits().max() * 1.25) + 1
+        h = max_hits0
+        while h < need and h < 1024:
+            h *= 2
+        if h != max_hits0:
+            print(f"[sampler] auto-calibrated max_hits: {max_hits0} -> {h} "
+                  f"(trial max {need})")
+        return h
 
     def _calibrate_sample_l(self, sample_l0: float, n_rays: int = 256,
                             iters: int = 6) -> float:
@@ -122,21 +184,9 @@ class PersSamplerManager:
 
         from gfnerf_tpu.models.gfnerf import sample_rays
 
-        rng = np.random.default_rng(self.cfg.seed)
-        n_cams = len(self.c2w)
-        ki = rng.integers(0, n_cams, n_rays)
-        # random pixels through each chosen camera
-        dirs = []
-        for i, k in enumerate(ki):
-            fx, fy = self.intri[k, 0, 0], self.intri[k, 1, 1]
-            cx, cy = self.intri[k, 0, 2], self.intri[k, 1, 2]
-            px = rng.uniform(0, 2 * cx)
-            py = rng.uniform(0, 2 * cy)
-            d_cam = np.array([(px - cx) / fx, -(py - cy) / fy, -1.0])
-            d = self.c2w[k, :3, :3] @ d_cam
-            dirs.append(d / np.linalg.norm(d))
-        o = jnp.asarray(self.c2w[ki, :, 3])
-        d = jnp.asarray(np.stack(dirs), jnp.float32)
+        o_np, d_np = self._trial_rays(n_rays)
+        o = jnp.asarray(o_np)
+        d = jnp.asarray(d_np)
         s = self.cfg.max_samples
         fill = self.cfg.auto_sample_l_fill
         sample_l = float(sample_l0)
@@ -198,6 +248,14 @@ class PersSamplerManager:
         while self.tree.n_nodes > self.capacity:
             self.capacity *= 2
         self.oct_dev = octree_to_device(self.tree, self.capacity)
+        # Subdivision deepens the tree => rays can cross more leaves; regrow
+        # the fast-march hit budget so the top-k never silently truncates.
+        # max_hits is a static shape, so the pipeline rebuilds its jitted
+        # steps when sampler_config changes (one retrace per growth).
+        new_h = self._calibrate_max_hits(self.sampler_config.max_hits)
+        if new_h != self.sampler_config.max_hits:
+            self.sampler_config = dataclasses.replace(
+                self.sampler_config, max_hits=new_h)
         return True
 
     def _w2c(self) -> np.ndarray:

@@ -32,6 +32,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Heavy end-to-end files (full trainer loops, parallel mesh steps): marked
+# slow so the default inner loop is `pytest -m "not slow"`; CI / the driver
+# still run everything (VERDICT r2 weak 7).
+_SLOW_FILES = {
+    "test_train_smoke.py",
+    "test_parallel.py",
+    "test_temporal.py",
+    "test_components.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
