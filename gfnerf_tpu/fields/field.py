@@ -298,6 +298,56 @@ def field_density(
     return density.reshape(lead_shape), geo.reshape(*lead_shape, cfg.geo_feat_dim)
 
 
+def _head_ray_pre(params: FieldParams, cfg: FieldConfig,
+                  dirs_ray: jnp.ndarray, rel_ray: jnp.ndarray):
+    """Per-ray partial pre-activation of the color head's first layer.
+
+    The head input is the concat [sh(dir) | geo | appearance]; splitting
+    layer-1 as ``x @ W0 = sh @ W0[:16] + geo @ W0[16:16+G] + emb @ W0[16+G:]``
+    lets the ray-constant terms (sh, emb, bias) be computed once per RAY and
+    broadcast/gathered to samples — the (N, 16+G+D) concat buffer (the
+    dominant head HBM traffic at N = R*S) never exists.  Exact up to float
+    summation order.
+    """
+    dt = _mlp_dt(cfg)
+    g = cfg.geo_feat_dim
+    r = dirs_ray.shape[0]
+    w0 = params.mlp_head["w"][0]
+    b0 = params.mlp_head["b"][0]
+    d_enc = sh_encode_deg4(dirs_ray)                    # (R, 16)
+    pre = jnp.dot(d_enc.astype(dt), w0[:16].astype(dt),
+                  preferred_element_type=dt)
+    if cfg.use_appearance_embedding:
+        emb = params.appearance_embedding[rel_ray]      # (R, D)
+        pre = pre + jnp.dot(emb.astype(dt), w0[16 + g:].astype(dt),
+                            preferred_element_type=dt)
+    return pre + b0.astype(dt)                          # (R, H)
+
+
+def _head_from_pre(params: FieldParams, cfg: FieldConfig,
+                   geo: jnp.ndarray,        # (..., G)
+                   ray_pre: jnp.ndarray):   # broadcastable to (..., H)
+    """Finish the color head from the split first layer.
+
+    Returns rgb flattened to (prod(...), 3)."""
+    dt = _mlp_dt(cfg)
+    g = cfg.geo_feat_dim
+    w0 = params.mlp_head["w"][0]
+    h = w0.shape[1]
+    geo_pre = jnp.dot(geo.reshape(-1, g).astype(dt), w0[16:16 + g].astype(dt),
+                      preferred_element_type=dt).reshape(geo.shape[:-1] + (h,))
+    h1 = geo_pre + ray_pre
+    return apply_mlp(params.mlp_head, h1.reshape(-1, h),
+                     output_activation="sigmoid", compute_dtype=dt,
+                     start_layer=1)
+
+
+def _semantics_heads(params, cfg, geo_flat):
+    sem_in = jax.lax.stop_gradient(geo_flat)  # pass_semantic_gradients=False
+    x = apply_mlp(params.mlp_semantics, sem_in, compute_dtype=_mlp_dt(cfg))
+    return apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
+
+
 def field_rgb(
     params: FieldParams,
     cfg: FieldConfig,
@@ -308,25 +358,32 @@ def field_rgb(
 ):
     """Color head. Returns dict with rgb (..., 3) (+ semantic logits)."""
     lead_shape = directions.shape[:-1]
-    d_enc = sh_encode_deg4(directions).reshape(-1, 16)
     geo = geo_feat.reshape(-1, cfg.geo_feat_dim)
-
-    if cfg.use_appearance_embedding:
-        emb = params.appearance_embedding[rel_camera_indices.reshape(-1)]
-    else:
-        emb = jnp.zeros((d_enc.shape[0], cfg.appearance_embedding_dim),
-                        dtype=jnp.float32)
-
-    h = jnp.concatenate([d_enc, geo, emb], axis=-1)
-    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid",
-                    compute_dtype=_mlp_dt(cfg))
+    ray_pre = _head_ray_pre(params, cfg, directions.reshape(-1, 3),
+                            rel_camera_indices.reshape(-1))
+    rgb = _head_from_pre(params, cfg, geo, ray_pre)
     out = {"rgb": rgb.reshape(*lead_shape, 3)}
-
     if cfg.use_semantics:
-        sem_in = jax.lax.stop_gradient(geo)  # pass_semantic_gradients=False default
-        x = apply_mlp(params.mlp_semantics, sem_in, compute_dtype=_mlp_dt(cfg))
-        logits = apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
+        logits = _semantics_heads(params, cfg, geo)
         out["semantics"] = logits.reshape(*lead_shape, cfg.num_semantic_classes)
+    return out
+
+
+def field_rgb_compact(
+    params: FieldParams,
+    cfg: FieldConfig,
+    ray_pre: jnp.ndarray,           # (R, H) from _head_ray_pre
+    geo_k: jnp.ndarray,             # (K, geo_feat_dim) compacted geo feats
+    ray_k: jnp.ndarray,             # (K,) int32 source ray per sample
+):
+    """Color head for the compacted path: the per-ray first-layer partial is
+    computed once on R rays, then gathered to the K valid samples (wide-row
+    gather at the sweet spot) instead of re-encoding SH + embedding per
+    sample."""
+    rgb = _head_from_pre(params, cfg, geo_k, ray_pre[ray_k])
+    out = {"rgb": rgb}
+    if cfg.use_semantics:
+        out["semantics"] = _semantics_heads(params, cfg, geo_k)
     return out
 
 
@@ -341,31 +398,15 @@ def field_rgb_per_ray(
     """Color head for the dense (R, S) path.
 
     Direction SH features and the appearance embedding are constant along a
-    ray; evaluating them per *ray* and broadcasting turns the per-sample
-    embedding gather (whose backward is an R*S-row scatter at ~25 M rows/s)
-    into an R-row one plus a cheap sum-over-samples.
-    """
+    ray; with the split first layer their contribution is one (R, H) matmul
+    broadcast over samples — no per-sample embedding gather, no (R*S, 16+G+D)
+    concat buffer."""
     r, s, _ = geo_feat.shape
-    d_enc = sh_encode_deg4(dirs_ray)                    # (R, 16)
-    if cfg.use_appearance_embedding:
-        emb = params.appearance_embedding[rel_ray]      # (R, D)
-    else:
-        emb = jnp.zeros((r, cfg.appearance_embedding_dim), jnp.float32)
-    ray_feats = jnp.concatenate([d_enc, emb], axis=-1)  # (R, 16 + D)
-    h = jnp.concatenate(
-        [jnp.broadcast_to(ray_feats[:, None, :16], (r, s, 16)),
-         geo_feat,
-         jnp.broadcast_to(ray_feats[:, None, 16:],
-                          (r, s, ray_feats.shape[-1] - 16))],
-        axis=-1,
-    ).reshape(r * s, -1)
-    rgb = apply_mlp(params.mlp_head, h, output_activation="sigmoid",
-                    compute_dtype=_mlp_dt(cfg))
+    ray_pre = _head_ray_pre(params, cfg, dirs_ray, rel_ray)  # (R, H)
+    rgb = _head_from_pre(params, cfg, geo_feat, ray_pre[:, None, :])
     out = {"rgb": rgb.reshape(r, s, 3)}
     if cfg.use_semantics:
-        sem_in = jax.lax.stop_gradient(geo_feat.reshape(r * s, -1))
-        x = apply_mlp(params.mlp_semantics, sem_in, compute_dtype=_mlp_dt(cfg))
-        logits = apply_mlp(params.semantics_head, x, compute_dtype=_mlp_dt(cfg))
+        logits = _semantics_heads(params, cfg, geo_feat.reshape(r * s, -1))
         out["semantics"] = logits.reshape(r, s, cfg.num_semantic_classes)
     return out
 

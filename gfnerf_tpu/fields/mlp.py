@@ -47,15 +47,31 @@ def apply_mlp(
     x: jnp.ndarray,
     output_activation: str = "none",
     compute_dtype=jnp.float32,
+    start_layer: int = 0,
 ) -> jnp.ndarray:
-    """ReLU MLP forward. ``output_activation``: "none" | "sigmoid"."""
+    """ReLU MLP forward. ``output_activation``: "none" | "sigmoid".
+
+    Hidden activations stay in ``compute_dtype`` between layers (the MXU
+    accumulates f32 internally either way; bf16 activations halve the HBM
+    traffic of the (N, hidden) intermediates — the fp16-tcnn-class compute
+    the reference uses).  The final layer accumulates and returns f32.
+
+    ``start_layer``: skip the first layers — the caller supplies ``x`` as
+    that layer's pre-activation (used by the split color head, field.py).
+    """
     ws, bs = params["w"], params["b"]
-    h = x.astype(compute_dtype)
     n = len(ws)
-    for i in range(n):
+    if start_layer > 0:
+        h = jax.nn.relu(x).astype(compute_dtype)
+    else:
+        h = x.astype(compute_dtype)
+    for i in range(start_layer, n):
+        last = i == n - 1
         h = jnp.dot(h, ws[i].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + bs[i]
-        if i < n - 1:
+                    preferred_element_type=(jnp.float32 if last
+                                            else compute_dtype))
+        h = h + bs[i].astype(h.dtype)
+        if not last:
             h = jax.nn.relu(h)
     if output_activation == "sigmoid":
         h = jax.nn.sigmoid(h)

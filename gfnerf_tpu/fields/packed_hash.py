@@ -183,12 +183,16 @@ def packed_hash_encode_raw(
     return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
 
 
-def chunked_prefix(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
-    """Inclusive prefix sum along axis 0 of (N, W), N % chunk == 0.
+def chunked_prefix(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 of (N, W), f32 accumulation.
 
     XLA's native cumsum on TPU runs at ~2.9 ns/element (sequential sublane
     shifts); this does the intra-block prefix as a lower-triangular matmul on
-    the MXU and only a (N/chunk, W) cumsum for the carries.
+    the MXU.  The block carries recurse into chunked_prefix themselves when
+    there are many blocks (at N ~ 1.3 M a (N/chunk, W) native cumsum would
+    cost more than the matmuls).  The matmul quantizes its input to bf16
+    (accumulating f32) — callers can pass x in bf16 outright to halve the
+    payload's HBM traffic at identical results.
     """
     n, w = x.shape
     rem = (-n) % chunk
@@ -204,7 +208,10 @@ def chunked_prefix(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     )                                            # (chunk, nb, w)
     intra = jnp.moveaxis(intra, 0, 1)            # (nb, chunk, w)
     totals = intra[:, -1, :]                     # (nb, w)
-    carry = jnp.cumsum(totals, axis=0) - totals  # exclusive over blocks
+    if nb > 256:
+        carry = chunked_prefix(totals, chunk) - totals
+    else:
+        carry = jnp.cumsum(totals, axis=0) - totals  # exclusive over blocks
     return (intra + carry[:, None, :]).reshape(nb * chunk, w)[:n]
 
 
@@ -293,7 +300,10 @@ def _phe_bwd(n_channels, pack, res, g):
             if lattice * n_channels < row_width:
                 pay = jnp.pad(
                     pay, ((0, 0), (0, row_width - lattice * n_channels)))
-            return pay
+            # the prefix matmul quantizes to bf16 anyway; storing the wide
+            # payload in bf16 halves its HBM traffic (grads are fp16-class
+            # in the reference's atomicAdd backward too)
+            return pay.astype(jnp.bfloat16)
 
         return carry, _sorted_segment_rows(h, inp, n_rows, payload_fn)
 

@@ -63,7 +63,8 @@ def trivial_baselines(val_imgs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="perf", choices=["parity", "perf"])
+    ap.add_argument("--config", default="perf",
+                    choices=["parity", "perf", "prop"])
     ap.add_argument("--out", type=Path,
                     default=Path("/tmp/quality_results.json"))
     ap.add_argument("--scene-dir", type=Path,
@@ -93,7 +94,7 @@ def main():
     # DEGRADES once saturated (the reference evaluates every valid sample of
     # its 1024-slot march). Quality runs therefore use a budget sized to the
     # scene; the 160-budget flagship remains the throughput config.
-    if args.config == "perf":
+    if args.config in ("perf", "prop"):
         init_steps = args.init_steps or 1600
         split_steps = args.split_steps or 700
         p.field_num_levels = 8
@@ -103,6 +104,13 @@ def main():
         p.field_mlp_dtype = "bfloat16"
         p.model.samples_budget_per_ray = 384
         p.sampler.max_samples = 384
+        if args.config == "prop":
+            # proposal-guided resampling: coverage march feeds the probe,
+            # the main field runs on K fine samples only (budget-saturation
+            # fix, QUALITY.md finding 1 / models/gfnerf.py)
+            p.field_use_proposal = True
+            p.model.num_proposal_resamples = 64
+            p.model.samples_budget_per_ray = 0   # proposal replaces compaction
     else:
         init_steps = args.init_steps or 800
         split_steps = args.split_steps or 350
