@@ -297,7 +297,6 @@ def _hes_bwd(res, g):
     vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
     scales = jnp.asarray(_level_scales(n_levels))
     g = g.reshape(p_count, n_levels, n_channels)
-    k8 = p_count * 8
     n_pairs = n_channels // 2
 
     def level_fn(carry, xs):
@@ -319,19 +318,11 @@ def _hes_bwd(res, g):
             [jax.lax.bitcast_convert_type(sp, jnp.bfloat16)
              for sp in sorted_ops[1:]], axis=-1)   # (K8, C)
         prefix = jnp.cumsum(sv.astype(jnp.float32), axis=0)       # (K8, C)
-        is_end = jnp.concatenate(
-            [skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
-        pos1 = jnp.arange(1, k8 + 1, dtype=jnp.int32)
-        # ONE unique scatter: run-end position+1 at each present key
-        endpos = jnp.zeros((local_size,), jnp.int32).at[
-            jnp.where(is_end, skeys, local_size)
-        ].max(jnp.where(is_end, pos1, 0), mode="drop")
-        fill = jax.lax.cummax(endpos)               # monotone positions
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), fill[:-1]])
-        p_end = prefix[jnp.maximum(endpos - 1, 0)]  # (N, 2) gather
-        p_prev = jnp.where((prev > 0)[:, None],
-                           prefix[jnp.maximum(prev - 1, 0)], 0.0)
-        dense = jnp.where((endpos > 0)[:, None], p_end - p_prev, 0.0)
+        # run-end diff via one binary search (no K8-row scatter; see
+        # packed_hash._runend_diff for the rate analysis)
+        from gfnerf_tpu.fields.packed_hash import _runend_diff
+
+        dense = _runend_diff(skeys, prefix, local_size)
         return carry, dense
 
     _, grads = jax.lax.scan(
