@@ -102,7 +102,8 @@ class Trainer:
             from gfnerf_tpu.viewer.server import ViewerServer
 
             self.viewer = ViewerServer(self.pipeline,
-                                       port=cfg.viewer_port)
+                                       port=cfg.viewer_port,
+                                       save_dir=cfg.get_base_dir())
             t = threading.Thread(target=self.viewer.serve_forever,
                                  daemon=True)
             t.start()

@@ -7,6 +7,12 @@ client.  The browser posts a camera pose, the server renders it through the
 pipeline (progressively: a fast low-res pass while interacting, a refined
 pass when idle) and returns a PNG.
 
+Camera paths: the client can capture keyframes of the current view ("add
+keyframe" / K) and export a slerp-interpolated ``camera_path.json`` in the
+reference's format (``nerfstudio/viewer_new`` camera-path editor +
+``scripts/render.py --traj filename`` consume the same schema), closing the
+capture->render loop without the 11k-LoC JS client.
+
 Usage: ``python scripts/viewer.py --load-config .../config.yml``.
 """
 
@@ -16,6 +22,7 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 import numpy as np
 
@@ -25,7 +32,11 @@ body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px}
 canvas{display:block;margin:auto;cursor:grab}
 </style></head><body>
-<div id="hud">gfnerf-tpu viewer &mdash; drag: orbit, wheel: zoom, shift-drag: pan</div>
+<div id="hud">gfnerf-tpu viewer &mdash; drag: orbit, wheel: zoom, shift-drag: pan,
+K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
+<button onclick="addKeyframe()">add keyframe</button>
+<button onclick="clearKeyframes()">clear</button>
+<button onclick="exportPath()">export camera_path.json</button></div>
 <canvas id="c" width="640" height="480"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -70,18 +81,133 @@ window.onmousemove = e => {
   render(4);
 };
 c.onwheel = e => { e.preventDefault(); radius *= Math.exp(e.deltaY*0.001); render(4); };
+const keyframes = [];
+function addKeyframe() {
+  keyframes.push(pose());
+  document.getElementById('nkf').textContent = keyframes.length + ' keyframes';
+}
+function clearKeyframes() {
+  keyframes.length = 0;
+  document.getElementById('nkf').textContent = '0 keyframes';
+}
+async function exportPath() {
+  if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
+  const res = await fetch('/camera_path', {method:'POST', body: JSON.stringify(
+    {keyframes: keyframes, width: c.width, height: c.height,
+     fps: 24, seconds: 2 * (keyframes.length - 1)})});
+  const blob = await res.blob();
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob);
+  a.download = 'camera_path.json';
+  a.click();
+}
+window.onkeydown = e => { if (e.key === 'k') addKeyframe(); };
 render(2);
 </script></body></html>"""
 
 
+def _quat_from_mat(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix (3, 3) -> unit quaternion (w, x, y, z)."""
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(m[i, i] - m[j, j] - m[k, k] + 1.0) * 2
+        q = np.empty(4)
+        q[0] = (m[k, j] - m[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (m[j, i] + m[i, j]) / s
+        q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
+def _mat_from_quat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    d = np.clip(np.dot(q0, q1), -1.0, 1.0)
+    if d > 0.9995:
+        q = q0 + t * (q1 - q0)
+    else:
+        th = np.arccos(d)
+        q = (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+    return q / np.linalg.norm(q)
+
+
+def interpolate_keyframes(keyframes: np.ndarray, n_frames: int) -> np.ndarray:
+    """(K, 3, 4) keyframe poses -> (n_frames, 3, 4) slerp/lerp path."""
+    k = len(keyframes)
+    quats = [_quat_from_mat(m[:3, :3]) for m in keyframes]
+    out = []
+    for f in range(n_frames):
+        u = f / max(n_frames - 1, 1) * (k - 1)
+        i = min(int(u), k - 2)
+        t = u - i
+        rot = _mat_from_quat(_slerp(quats[i], quats[i + 1], t))
+        pos = (1 - t) * keyframes[i][:3, 3] + t * keyframes[i + 1][:3, 3]
+        out.append(np.concatenate([rot, pos[:, None]], axis=-1))
+    return np.stack(out).astype(np.float32)
+
+
+def build_camera_path(keyframes, width, height, fov_deg, fps=24,
+                      seconds=None) -> dict:
+    """nerfstudio-format camera_path.json dict (the schema consumed by
+    scripts/render.py --traj filename and the reference's render script,
+    /root/reference/scripts/render.py:47-128)."""
+    keyframes = np.asarray(keyframes, np.float32).reshape(-1, 3, 4)
+    seconds = seconds if seconds else 2.0 * (len(keyframes) - 1)
+    n_frames = max(int(round(fps * seconds)), 2)
+    path = interpolate_keyframes(keyframes, n_frames)
+    bottom = np.broadcast_to(np.array([0, 0, 0, 1], np.float32),
+                             (n_frames, 1, 4))
+    c2w4 = np.concatenate([path, bottom], axis=1)
+    return {
+        "camera_type": "perspective",
+        "render_height": int(height),
+        "render_width": int(width),
+        "fps": float(fps),
+        "seconds": float(seconds),
+        "camera_path": [
+            {"camera_to_world": c2w4[i].reshape(-1).tolist(),
+             "fov": float(fov_deg)}
+            for i in range(n_frames)
+        ],
+    }
+
+
 class ViewerServer:
     def __init__(self, pipeline, port: int = 7007,
-                 default_radius: float = 4.0, fov_deg: float = 60.0):
+                 default_radius: float = 4.0, fov_deg: float = 60.0,
+                 save_dir: "Path | None" = None):
         self.pipeline = pipeline
         self.port = port
         self.default_radius = default_radius
         self.fov_deg = fov_deg
+        self.save_dir = Path(save_dir) if save_dir else None
         self._lock = threading.Lock()
+
+    def _camera_path(self, req: dict) -> bytes:
+        doc = build_camera_path(
+            req["keyframes"], req.get("width", 640), req.get("height", 480),
+            self.fov_deg, fps=req.get("fps", 24),
+            seconds=req.get("seconds"))
+        payload = json.dumps(doc, indent=2).encode()
+        if self.save_dir is not None:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            (self.save_dir / "camera_path.json").write_bytes(payload)
+        return payload
 
     def _render(self, req: dict) -> bytes:
         import imageio.v2 as imageio
@@ -126,11 +252,16 @@ class ViewerServer:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 try:
-                    png = viewer._render(req)
+                    if self.path == "/camera_path":
+                        body = viewer._camera_path(req)
+                        ctype = "application/json"
+                    else:
+                        body = viewer._render(req)
+                        ctype = "image/png"
                     self.send_response(200)
-                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Type", ctype)
                     self.end_headers()
-                    self.wfile.write(png)
+                    self.wfile.write(body)
                 except Exception as e:  # surface render errors to the client
                     self.send_response(500)
                     self.end_headers()

@@ -35,7 +35,8 @@ def main(argv=None):
     radius = float(np.linalg.norm(pos, axis=1).mean())
 
     ViewerServer(pipeline, port=args.port,
-                 default_radius=radius).serve_forever()
+                 default_radius=radius,
+                 save_dir=args.load_config.parent).serve_forever()
 
 
 if __name__ == "__main__":
