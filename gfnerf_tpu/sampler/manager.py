@@ -248,6 +248,9 @@ class PersSamplerManager:
         while self.tree.n_nodes > self.capacity:
             self.capacity *= 2
         self.oct_dev = octree_to_device(self.tree, self.capacity)
+        print(f"[sampler] {'milestone rebuild' if do_milestone else 'compact'}"
+              f" @step {step}: n_nodes {self.tree.n_nodes}"
+              f" (capacity {self.capacity})", flush=True)
         # Subdivision deepens the tree => rays can cross more leaves; regrow
         # the fast-march hit budget so the top-k never silently truncates.
         # max_hits is a static shape, so the pipeline rebuilds its jitted
