@@ -20,6 +20,7 @@ hashing, 16x2 levels, 1024-sample march) is benchmarked in PERF_NOTES.md.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -32,12 +33,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 NORTH_STAR_RAYS_PER_SEC_PER_CHIP = 125_000.0
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="perf", choices=["perf", "prop"],
+                    help="perf: dense compaction budget; prop: "
+                         "proposal-guided resampling (coverage march + "
+                         "K fine samples)")
+    ap.add_argument("--stage", default="init", choices=["init", "focal"],
+                    help="focal: STAGE_BLOCK step (residual tables, frozen "
+                         "shared params) — the stage the reference spends "
+                         "100k of 130k steps in (gfnerf/config.py:58)")
+    ap.add_argument("--rays", type=int, default=8192)
+    args = ap.parse_args(argv)
     import jax
     import jax.numpy as jnp
 
     from gfnerf_tpu.engine.optimizers import OptimizersConfig, build_optimizer, optimizer_arg
-    from gfnerf_tpu.fields.field import STAGE_INIT, FieldConfig, init_field_params
+    from gfnerf_tpu.fields.field import (
+        STAGE_BLOCK, STAGE_INIT, FieldConfig, init_field_params)
     from gfnerf_tpu.models.gfnerf import (
         GFNeRFModelConfig,
         TrainState,
@@ -67,19 +80,23 @@ def main():
     # gf-nerf-perf flagship shape (configs/method_configs.py:126)
     S = 160
     scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256, locate_iters=12)
+    use_prop = args.config == "prop"
     fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
                        num_levels=8, features_per_level=4,
                        hash_layout="packed", packed_rows_log2=15, n_blocks=2,
-                       mlp_dtype="bfloat16")
-    mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
-                             samples_budget_per_ray=S)
+                       mlp_dtype="bfloat16", use_proposal=use_prop)
+    mcfg = GFNeRFModelConfig(
+        n_blocks=2, scale_factor=1.0,
+        samples_budget_per_ray=0 if use_prop else S,
+        num_proposal_resamples=64 if use_prop else 0)
     params, statics = init_field_params(fcfg, seed=0)
     ocfg = OptimizersConfig()
     tx = build_optimizer(ocfg, params)
     state = TrainState(params=params, opt_state=tx.init(optimizer_arg(params)),
                        step=jnp.asarray(0, jnp.int32))
     K = 8
-    step_fn = make_multi_train_step(fcfg, mcfg, scfg, tx, STAGE_INIT, K)
+    stage = STAGE_BLOCK if args.stage == "focal" else STAGE_INIT
+    step_fn = make_multi_train_step(fcfg, mcfg, scfg, tx, stage, K)
 
     cams_host = CamerasHost(
         camera_to_worlds=c2w, fx=fx, fy=fy, cx=cx, cy=cy,
@@ -88,7 +105,7 @@ def main():
     )
     cameras = cams_host.to_device()
 
-    R = 8192
+    R = args.rays
 
     def make_batches(seed):
         """One stacked (K, ...) batch pytree, staged to device as few
@@ -127,8 +144,10 @@ def main():
     dt = (time.perf_counter() - t0) / (n_dispatch * K)
     rays_per_sec = R / dt
 
+    suffix = "" if (args.stage, args.config) == ("init", "perf") else (
+        f"_{args.stage}_{args.config}")
     print(json.dumps({
-        "metric": "train_rays_per_sec_per_chip",
+        "metric": "train_rays_per_sec_per_chip" + suffix,
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC_PER_CHIP,
