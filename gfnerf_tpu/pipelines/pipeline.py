@@ -454,9 +454,13 @@ class GFNerfPipeline:
     def render_camera(self, cameras_host, camera_idx: int, step: int,
                       downscale: int = 1,
                       rel_camera_index: Optional[int] = None,
-                      stage: Optional[int] = None):
+                      stage: Optional[int] = None,
+                      force_split_idx: Optional[int] = None):
         """Chunked full-image render (Model.get_outputs_for_camera_ray_bundle,
-        base_model.py:162-186)."""
+        base_model.py:162-186).
+
+        ``force_split_idx`` overrides the nearest-camera block lookup
+        (diagnostics: render every block's residual from the same view)."""
         from gfnerf_tpu.cameras.cameras import generate_rays
 
         h = int(cameras_host.height[camera_idx]) // downscale
@@ -472,6 +476,8 @@ class GFNerfPipeline:
         if stage is None:
             stage = self.stage_of(step)
         split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
+        if force_split_idx is not None:
+            split_idx = force_split_idx
         if rel_camera_index is None:
             rel_camera_index = nearest
 

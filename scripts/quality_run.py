@@ -61,10 +61,48 @@ def trivial_baselines(val_imgs):
     return out
 
 
+def diag_eval(pipe, step, n_blocks):
+    """Per-variant eval isolating the focal-stage regression (r3):
+    'routed' = standard nearest-block eval; 'shared_only' = residuals off
+    (must reproduce the after_init numbers if the focal freeze holds);
+    'block{b}' = every val camera forced through block b's residual."""
+    import numpy as np
+
+    from gfnerf_tpu.fields.field import STAGE_BLOCK, STAGE_INIT
+    from gfnerf_tpu.pipelines.pipeline import compute_ssim
+
+    dm = pipe.datamanager
+    cams = dm.eval_dataparser_outputs.cameras
+    variants = {"routed": {}, "shared_only": {"stage": STAGE_INIT}}
+    for b in range(n_blocks):
+        variants[f"block{b}"] = {"stage": STAGE_BLOCK, "force_split_idx": b}
+    out = {}
+    for name, kw in variants.items():
+        psnrs, ssims = [], []
+        for i in range(len(dm.eval_dataset)):
+            cam_idx, data = dm.next_eval_image(i)
+            r = pipe.render_camera(cams, cam_idx, step, **kw)
+            mse = float(np.mean((r["rgb"] - data["image"]) ** 2))
+            psnrs.append(-10.0 * np.log10(mse + 1e-12))
+            ssims.append(float(compute_ssim(r["rgb"], data["image"])))
+        out[name] = {"psnr": float(np.mean(psnrs)),
+                     "ssim": float(np.mean(ssims)),
+                     "per_cam_psnr": [round(p, 2) for p in psnrs]}
+    # which block does routing pick per val camera?
+    out["routing"] = [
+        int(pipe.sampler.get_nearest_split_dataset(
+            np.asarray(cams.camera_to_worlds[i][:, 3]))[0])
+        for i in range(len(dm.eval_dataset))]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="perf",
                     choices=["parity", "perf", "prop"])
+    ap.add_argument("--diag", action="store_true",
+                    help="extra per-block/shared-only evals at each "
+                         "milestone + eval after every split")
     ap.add_argument("--out", type=Path,
                     default=Path("/tmp/quality_results.json"))
     ap.add_argument("--scene-dir", type=Path,
@@ -155,6 +193,9 @@ def main():
     t0 = time.time()
     milestones = {init_steps: "after_init",
                   cfg.max_num_iterations: "final"}
+    if args.diag:
+        for b in range(1, n_blocks):
+            milestones[init_steps + b * split_steps] = f"after_split{b - 1}"
     step = 0
     while step < cfg.max_num_iterations:
         m = pipe.get_train_loss_dict(step)
@@ -167,8 +208,16 @@ def main():
             em = pipe.get_average_eval_image_metrics(step)
             results[milestones[step]] = em
             print(f"== {milestones[step]} eval @{step}: {em}", flush=True)
+            if args.diag and step > init_steps:
+                d = diag_eval(pipe, step, n_blocks)
+                results[milestones[step] + "_diag"] = d
+                print(f"== diag @{step}: {json.dumps(d)}", flush=True)
             args.out.write_text(json.dumps(results, indent=2))
     results["minutes"] = (time.time() - t0) / 60
+    if args.diag:  # keep the end state inspectable post-hoc
+        ckpt = args.out.parent / f"quality_{args.config}_ckpt"
+        pipe.save_checkpoint_state(ckpt, step)
+        results["checkpoint"] = str(ckpt)
     args.out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2), flush=True)
 
