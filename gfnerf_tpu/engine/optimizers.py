@@ -39,6 +39,16 @@ class OptimizersConfig:
     fields_lr_init: float = 1e-2
     fields_lr_final: float = 1e-4
     block_lr_init: float = 5e-3          # nerfacto.py:481
+    block_weight_decay: float = 0.0
+    """AdamW-style decay on the focal residual tables (trust region).
+
+    The residual tables hash the whole warped space; focal training visits
+    only the active block's rays, so colliding rows elsewhere accumulate
+    unconstrained noise that degrades every other view (QUALITY.md finding
+    4). Decay pulls unsupported entries back toward the zero residual. The
+    released reference never exercises its residual path at all
+    (nerfacto_field.py:449 dead-code override) so no reference value
+    exists; this is a TPU-repo stabilization."""
     adam_eps: float = 1e-15
     adam_b1: float = 0.9
     adam_b2: float = 0.999
@@ -86,14 +96,17 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
         steps_perssampler_init=cfg.steps_perssampler_init,
     )
 
-    def group(lr_init):
+    def group(lr_init, weight_decay=0.0):
         sched = gfnerf_exponential_decay_schedule(sched_cfg, lr_init)
         parts = []
         if cfg.max_norm is not None:
             parts.append(optax.clip_by_global_norm(cfg.max_norm))
+        parts.append(optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                         eps=cfg.adam_eps))
+        if weight_decay:
+            # after Adam scaling => AdamW-style decoupled decay
+            parts.append(optax.add_decayed_weights(weight_decay))
         parts += [
-            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
-                                eps=cfg.adam_eps),
             optax.scale_by_schedule(sched),
             optax.scale(-1.0),
         ]
@@ -111,7 +124,8 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
         {
             "fields": group(cfg.fields_lr_init),
             "base_encoding_init": group(cfg.fields_lr_init),
-            "block": group(cfg.block_lr_init),
+            "block": group(cfg.block_lr_init,
+                           weight_decay=cfg.block_weight_decay),
             "camera_opt": group(cfg.camera_opt_lr),
         },
         labels,

@@ -109,6 +109,9 @@ def main():
                     default=Path("/tmp/quality_scene"))
     ap.add_argument("--init-steps", type=int, default=None)
     ap.add_argument("--split-steps", type=int, default=None)
+    ap.add_argument("--block-wd", type=float, default=None,
+                    help="residual-table weight decay (finding-4 fix)")
+    ap.add_argument("--block-lr", type=float, default=None)
     args = ap.parse_args()
 
     from gfnerf_tpu.configs.method_configs import gf_nerf_config
@@ -170,6 +173,10 @@ def main():
     p.optimizers.steps_perssampler_init = init_steps
     p.optimizers.steps_per_split_dataset = split_steps
     p.optimizers.n_split_dataset = n_blocks
+    if args.block_wd is not None:
+        p.optimizers.block_weight_decay = args.block_wd
+    if args.block_lr is not None:
+        p.optimizers.block_lr_init = args.block_lr
     p.sampler.sub_div_milestones = (init_steps // 8, init_steps // 4,
                                     init_steps // 2)
     p.sampler.ray_march_fineness_decay_end_iter = init_steps
