@@ -71,6 +71,10 @@ class GFNerfPipelineConfig:
     field_hidden_dim_color: int = 128
     use_appearance_embedding: bool = True
     camera_opt_mode: str = "off"   # "off" | "SO3xR3" | "SE3"
+    use_error_sampling: bool = True
+    """False: focal splits sample pixels uniformly instead of 20%
+    error-map-weighted (diagnostic ablation, QUALITY.md finding 4; error
+    maps are still rendered for observability)."""
     eval_num_rays_per_chunk: int = 2048
     camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
     seed: int = 42
@@ -384,7 +388,9 @@ class GFNerfPipeline:
                 self._last_split_idx = phase
             self.datamanager.setup_train_splits_parallel(
                 self.sampler.cameras_labels,
-                self.parallel_active_blocks(step), self.sample_tmp_dir,
+                self.parallel_active_blocks(step),
+                self.sample_tmp_dir if self.config.use_error_sampling
+                else None,
                 self.config.datamanager.train_num_rays_per_batch)
             return
         if self.stage_of(step) == STAGE_BLOCK:
@@ -398,7 +404,9 @@ class GFNerfPipeline:
                     opt_state=self.tx.init(optimizer_arg(self.state.params)))
                 self._last_split_idx = cur
             self.datamanager.setup_train_split_oct(
-                self.sampler.cameras_labels, cur, self.sample_tmp_dir,
+                self.sampler.cameras_labels, cur,
+                self.sample_tmp_dir if self.config.use_error_sampling
+                else None,
             )
 
     def get_eval_loss_dict(self, step: int) -> Dict[str, float]:
@@ -670,6 +678,10 @@ class GFNerfPipeline:
         self.sampler.cameras_labels = labels if labels.size else None
         meta = json.loads((ckpt_dir / "meta.json").read_text())
         self.sample_tmp_dir = meta["sample_tmp_dir"] or None
+        # the restored tree can be far deeper than the fresh build the
+        # manager calibrated max_hits on — regrow + retrace if needed
+        if self.sampler.recalibrate_max_hits():
+            self._build_step_fns()
         return int(meta["step"])
 
 

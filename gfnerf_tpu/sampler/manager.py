@@ -261,6 +261,17 @@ class PersSamplerManager:
                 self.sampler_config, max_hits=new_h)
         return True
 
+    def recalibrate_max_hits(self) -> bool:
+        """Regrow the fast-march hit budget for the CURRENT tree (call after
+        loading a checkpointed octree, which can be much deeper than the
+        fresh build the constructor calibrated on). True if it changed."""
+        new_h = self._calibrate_max_hits(self.sampler_config.max_hits)
+        if new_h != self.sampler_config.max_hits:
+            self.sampler_config = dataclasses.replace(
+                self.sampler_config, max_hits=new_h)
+            return True
+        return False
+
     def _w2c(self) -> np.ndarray:
         n = len(self.c2w)
         w2c = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))

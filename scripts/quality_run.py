@@ -112,6 +112,14 @@ def main():
     ap.add_argument("--block-wd", type=float, default=None,
                     help="residual-table weight decay (finding-4 fix)")
     ap.add_argument("--block-lr", type=float, default=None)
+    ap.add_argument("--uniform-sampling", action="store_true",
+                    help="disable error-map-weighted focal sampling "
+                         "(ablation, finding 4)")
+    ap.add_argument("--init-ckpt", type=Path, default=None,
+                    help="checkpoint dir saved at the init->focal "
+                         "transition: written there after init if absent, "
+                         "loaded (skipping init) if present — makes focal "
+                         "hyperparameter sweeps cheap")
     args = ap.parse_args()
 
     from gfnerf_tpu.configs.method_configs import gf_nerf_config
@@ -177,6 +185,8 @@ def main():
         p.optimizers.block_weight_decay = args.block_wd
     if args.block_lr is not None:
         p.optimizers.block_lr_init = args.block_lr
+    if args.uniform_sampling:
+        p.use_error_sampling = False
     p.sampler.sub_div_milestones = (init_steps // 8, init_steps // 4,
                                     init_steps // 2)
     p.sampler.ray_march_fineness_decay_end_iter = init_steps
@@ -204,6 +214,14 @@ def main():
         for b in range(1, n_blocks):
             milestones[init_steps + b * split_steps] = f"after_split{b - 1}"
     step = 0
+    ic = args.init_ckpt
+    if ic is not None and (ic / "meta.json").exists():
+        loaded = pipe.load_checkpoint_state(ic)
+        assert loaded == init_steps, (loaded, init_steps)
+        step = loaded
+        em = json.loads((ic / "after_init_eval.json").read_text())
+        results["after_init"] = em
+        print(f"resumed at init->focal transition from {ic}", flush=True)
     while step < cfg.max_num_iterations:
         m = pipe.get_train_loss_dict(step)
         pipe.after_train_iteration(step)
@@ -219,6 +237,11 @@ def main():
                 d = diag_eval(pipe, step, n_blocks)
                 results[milestones[step] + "_diag"] = d
                 print(f"== diag @{step}: {json.dumps(d)}", flush=True)
+            if (ic is not None and step == init_steps
+                    and not (ic / "meta.json").exists()):
+                pipe.save_checkpoint_state(ic, step)
+                (ic / "after_init_eval.json").write_text(json.dumps(em))
+                print(f"saved init->focal checkpoint to {ic}", flush=True)
             args.out.write_text(json.dumps(results, indent=2))
     results["minutes"] = (time.time() - t0) / 60
     if args.diag:  # keep the end state inspectable post-hoc
