@@ -101,12 +101,14 @@ def build_optimizer(cfg: OptimizersConfig, params: FieldParams):
         parts = []
         if cfg.max_norm is not None:
             parts.append(optax.clip_by_global_norm(cfg.max_norm))
-        parts.append(optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
-                                         eps=cfg.adam_eps))
-        if weight_decay:
-            # after Adam scaling => AdamW-style decoupled decay
-            parts.append(optax.add_decayed_weights(weight_decay))
         parts += [
+            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                eps=cfg.adam_eps),
+            # after Adam scaling => AdamW-style decoupled decay; always in
+            # the chain (0.0 = no-op) so the opt-state STRUCTURE does not
+            # depend on the hyperparameter and checkpoints restore across
+            # sweep configs
+            optax.add_decayed_weights(weight_decay),
             optax.scale_by_schedule(sched),
             optax.scale(-1.0),
         ]
