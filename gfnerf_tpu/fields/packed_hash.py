@@ -307,15 +307,20 @@ def _phe_bwd(n_channels, pack, res, g):
                    * dim_w(2)[:, None, None, :]).reshape(p, e ** 3)
             pay = (wgt[:, :, None] * sg[:, None, :]).reshape(
                 p, lattice * n_channels)
-            if lattice * n_channels < row_width:
-                pay = jnp.pad(
-                    pay, ((0, 0), (0, row_width - lattice * n_channels)))
             # the prefix matmul quantizes to bf16 anyway; storing the wide
             # payload in bf16 halves its HBM traffic (grads are fp16-class
             # in the reference's atomicAdd backward too)
             return pay.astype(jnp.bfloat16)
 
-        return carry, _sorted_segment_rows(h, inp, n_rows, payload_fn)
+        # The prefix + run-end machinery runs at the LIVE width
+        # (lattice * n_channels); the dense grad is padded to row_width only
+        # at the end — at C=4/pack=1 that is 32 live of 128 columns, a 4x
+        # saving on the MXU prefix and the run-bound gathers.
+        dense = _sorted_segment_rows(h, inp, n_rows, payload_fn)
+        if lattice * n_channels < row_width:
+            dense = jnp.pad(
+                dense, ((0, 0), (0, row_width - lattice * n_channels)))
+        return carry, dense
 
     _, grads = jax.lax.scan(
         level_fn, None,
