@@ -62,28 +62,69 @@ def get_samples_fast(
 
     T = oct.w2xz.shape[0]
 
-    def chunk_fn(args):
-        o, d, nz = args                            # (B,3) (B,3) (B,S)
-        # ---- slab test against every valid leaf: (B, L) ----
-        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-10,
-                              jnp.where(d >= 0, 1e-10, -1e-10), d)
-        lo = lc - ls[:, None] * 0.5                # (L, 3)
-        hi = lc + ls[:, None] * 0.5
-        t0 = (lo[None] - o[:, None]) * inv[:, None]    # (B, L, 3)
-        t1 = (hi[None] - o[:, None]) * inv[:, None]
-        near = jnp.max(jnp.minimum(t0, t1), axis=-1)   # (B, L)
+    M = min(cfg.coarse_hits, int(oct.cut_nodes.shape[0]))
+    if M > 0:
+        cutn = oct.cut_nodes                       # (Cc,)
+        safe_cut = jnp.maximum(cutn, 0)
+        cut_c = oct.centers[safe_cut]              # (Cc, 3)
+        cut_s = oct.side_lens[safe_cut]            # (Cc,)
+        cut_ok = cutn >= 0
+
+    def slab(o, inv, centers, sides, ok):
+        """AABB slab test; centers (..., N, 3) vs rays (B, 3).
+        Returns (near, far, hit) of shape (B, N)."""
+        lo = centers - sides[..., None] * 0.5
+        hi = centers + sides[..., None] * 0.5
+        if centers.ndim == 2:                      # shared boxes
+            t0 = (lo[None] - o[:, None]) * inv[:, None]
+            t1 = (hi[None] - o[:, None]) * inv[:, None]
+        else:                                      # per-ray boxes (B, N, 3)
+            t0 = (lo - o[:, None]) * inv[:, None]
+            t1 = (hi - o[:, None]) * inv[:, None]
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
         far = jnp.min(jnp.maximum(t0, t1), axis=-1)
         near = jnp.maximum(near, cfg.global_near)
-        hit = leaf_ok[None] & (far > near)
+        return near, far, ok & (far > near)
+
+    def chunk_fn(args):
+        o, d, nz = args                            # (B,3) (B,3) (B,S)
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-10,
+                              jnp.where(d >= 0, 1e-10, -1e-10), d)
+        if M > 0:
+            # ---- phase 1: slab test the tree cut, keep the nearest M ----
+            near_c, _, hit_c = slab(o, inv, cut_c, cut_s, cut_ok[None])
+            key_c = jnp.where(hit_c, near_c, jnp.inf)
+            neg_c, cidx = jax.lax.top_k(-key_c, M)     # (B, M)
+            got_c = jnp.isfinite(neg_c)
+            cand = jnp.where(got_c[..., None],
+                             oct.cut_leaf_slots[cidx], -1)  # (B, M, F)
+            cand = cand.reshape(cand.shape[0], -1)     # (B, M*F) slots
+            csafe = jnp.maximum(cand, 0)
+            # ---- phase 2: slab test only the candidate leaves ----
+            lc2, ls2 = lc[csafe], ls[csafe]            # (B, M*F, ...)
+            ok2 = (cand >= 0) & leaf_ok[csafe]
+            near, far, hit = slab(o, inv, lc2, ls2, ok2)
+            sel_nodes, sel_trans, sel_block = (
+                leaf_nodes[csafe], ltrans[csafe], lblock[csafe])
+        else:
+            # ---- brute force: slab test every valid leaf: (B, L) ----
+            near, far, hit = slab(o, inv, lc, ls, leaf_ok[None])
+            sel_nodes = sel_trans = sel_block = None
 
         key = jnp.where(hit, near, jnp.inf)
         neg_near, slot = jax.lax.top_k(-key, H)    # (B, H) sorted near asc
         got = jnp.isfinite(neg_near)
         near_h = jnp.where(got, -neg_near, 0.0)
         far_h = jnp.where(got, jnp.take_along_axis(far, slot, axis=1), 0.0)
-        node_h = leaf_nodes[slot]                  # (B, H) node ids
-        trans_h = jnp.where(got, ltrans[slot], -1)
-        block_h = lblock[slot]
+        if M > 0:
+            node_h = jnp.take_along_axis(sel_nodes, slot, axis=1)
+            trans_h = jnp.where(
+                got, jnp.take_along_axis(sel_trans, slot, axis=1), -1)
+            block_h = jnp.take_along_axis(sel_block, slot, axis=1)
+        else:
+            node_h = leaf_nodes[slot]              # (B, H) node ids
+            trans_h = jnp.where(got, ltrans[slot], -1)
+            block_h = lblock[slot]
         trc = jnp.clip(trans_h, 0, T - 1)
 
         # ---- per-(ray, leaf) step size from the entry-point Jacobian ----
@@ -118,17 +159,21 @@ def get_samples_fast(
         n_h = jnp.minimum(n_h, jnp.maximum(S - prefix, 0))
 
         s_idx = jnp.arange(S)[None, :]             # (1, S)
-        # leaf index per sample slot: count of leaves whose range ends <= s
-        starts = prefix[:, None, :]                # (B, 1, H)
-        ends = (prefix + n_h)[:, None, :]
-        in_leaf = (s_idx[..., None] >= starts) & (s_idx[..., None] < ends)
-        onehot = in_leaf.astype(jnp.float32)       # (B, S, H)
+        # Leaf index per sample slot via binary search: slots pack
+        # contiguously from 0 (prefix[0]=0, ends[j]=prefix[j+1]), so slot s
+        # belongs to the first leaf whose end exceeds s.  Replaces the
+        # previous one-hot (B, S, H) einsum assignment — O(S log H) gathers
+        # instead of 7 x (B*S*H) mult-adds.
+        ends = prefix + n_h                        # (B, H) non-decreasing
+        qs = jnp.arange(S, dtype=ends.dtype)
+        j = jax.vmap(
+            lambda e: jnp.searchsorted(e, qs, side="right"))(ends)
+        got_s = s_idx < ends[:, -1:]               # slot within some leaf
+        j = jnp.minimum(j, H - 1)
 
         def pick(v_h, dtype=jnp.float32):
-            return jnp.einsum("bsh,bh->bs", onehot,
-                              v_h.astype(jnp.float32)).astype(dtype)
+            return jnp.take_along_axis(v_h, j, axis=1).astype(dtype)
 
-        got_s = jnp.any(in_leaf, axis=-1)
         near_s = pick(near_h)
         base_s = pick(base)
         prefix_s = pick(prefix)

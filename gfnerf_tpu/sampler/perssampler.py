@@ -63,6 +63,13 @@ class OctreeDevice:
     # valid-leaf list for the vectorized march (node ids, -1 padded)
     leaf_idx: jnp.ndarray      # (Lcap,) i32
     n_leaves: jnp.ndarray      # () i32
+    # tree cut for the hierarchical march (fast_march.py): every valid leaf
+    # has exactly one ancestor-or-self in the cut; each cut node holds the
+    # positions (into leaf_idx) of its <= CUT_F descendant leaves.  Rays
+    # slab-test the cut first and only the leaf lists of the nearest
+    # coarse_hits cut nodes — O(R x (Ccap + M*F)) instead of O(R x Lcap).
+    cut_nodes: jnp.ndarray      # (Ccap,) i32 node ids, -1 pad
+    cut_leaf_slots: jnp.ndarray  # (Ccap, CUT_F) i32 positions into leaf_idx
     # warp arrays (fixed size T after construction)
     w2xz: jnp.ndarray          # (T, 12, 2, 4) f32
     warp_weight: jnp.ndarray   # (T, 3, 12) f32
@@ -83,6 +90,10 @@ class SamplerConfig:
     march: str = static_field(default="fast")       # "fast" | "scan"
     max_hits: int = static_field(default=64)        # leaf hits/ray (fast march)
     ray_chunk: int = static_field(default=1024)     # slab-test ray chunking
+    # hierarchical march: slab-test the tree cut first and expand only the
+    # nearest `coarse_hits` cut nodes' leaf lists (0 = brute-force over all
+    # leaves).  Work per ray: Ccap + coarse_hits*CUT_F instead of Lcap.
+    coarse_hits: int = static_field(default=0)
 
 
 def leaf_capacity_for(n: int, minimum: int = 1024) -> int:
@@ -90,6 +101,62 @@ def leaf_capacity_for(n: int, minimum: int = 1024) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+CUT_F = 32  # max descendant leaves per tree-cut node
+
+
+def build_tree_cut(tree: PersOctree, leaf_idx: np.ndarray,
+                   f_max: int = CUT_F):
+    """Tree cut for the hierarchical march: the shallowest antichain of
+    nodes whose valid-leaf descendant counts are all <= f_max.
+
+    Returns (cut_nodes (Ccap,) i32, cut_leaf_slots (Ccap, f_max) i32), both
+    -1 padded; slots index into ``leaf_idx`` (the padded valid-leaf list).
+    The reference has no equivalent — its stack-DFS kernel
+    (PersSampler_cuda.cu:54-152) prunes per ray; on TPU the pruning must be
+    a static two-phase filter instead.
+    """
+    slot_of_node = {int(n): i for i, n in enumerate(leaf_idx) if n >= 0}
+    cut, lists = [], []
+
+    def leaf_slots(node: int):
+        """Slots of valid-leaf descendants (including node itself)."""
+        if tree.is_leaf[node]:
+            s = slot_of_node.get(node)
+            return [s] if s is not None else []
+        out = []
+        for c in tree.childs[node]:
+            if c >= 0:
+                out.extend(leaf_slots(int(c)))
+        return out
+
+    def descend(node: int):
+        slots = leaf_slots(node)
+        if not slots:
+            return
+        if len(slots) <= f_max or tree.is_leaf[node]:
+            cut.append(node)
+            lists.append(slots)
+        else:
+            for c in tree.childs[node]:
+                if c >= 0:
+                    descend(int(c))
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        descend(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    ccap = leaf_capacity_for(max(len(cut), 1), minimum=128)
+    cut_nodes = np.full(ccap, -1, np.int32)
+    cut_slots = np.full((ccap, f_max), -1, np.int32)
+    for i, (n, slots) in enumerate(zip(cut, lists)):
+        cut_nodes[i] = n
+        cut_slots[i, : len(slots)] = slots
+    return cut_nodes, cut_slots
 
 
 def octree_to_device(tree: PersOctree, capacity: int,
@@ -105,6 +172,7 @@ def octree_to_device(tree: PersOctree, capacity: int,
     assert len(valid_leaves) <= leaf_capacity
     leaf_idx = np.full(leaf_capacity, -1, np.int32)
     leaf_idx[: len(valid_leaves)] = valid_leaves
+    cut_nodes, cut_leaf_slots = build_tree_cut(tree, leaf_idx)
 
     def pad(arr, fill, dtype=None):
         arr = np.asarray(arr)
@@ -116,6 +184,8 @@ def octree_to_device(tree: PersOctree, capacity: int,
     return OctreeDevice(
         leaf_idx=jnp.asarray(leaf_idx),
         n_leaves=jnp.asarray(len(valid_leaves), jnp.int32),
+        cut_nodes=jnp.asarray(cut_nodes),
+        cut_leaf_slots=jnp.asarray(cut_leaf_slots),
         centers=pad(tree.centers, 0.0),
         side_lens=pad(tree.side_lens, 1.0),
         childs=pad(tree.childs, -1),

@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--block-wd", type=float, default=None,
                     help="residual-table weight decay (finding-4 fix)")
     ap.add_argument("--block-lr", type=float, default=None)
+    ap.add_argument("--rows-log2", type=int, default=None,
+                    help="hash rows per level (global AND residual tables): "
+                         "smaller makes global capacity the binding "
+                         "constraint, the regime the focal stage exists for")
     ap.add_argument("--uniform-sampling", action="store_true",
                     help="disable error-map-weighted focal sampling "
                          "(ablation, finding 4)")
@@ -181,6 +185,8 @@ def main():
     p.optimizers.steps_perssampler_init = init_steps
     p.optimizers.steps_per_split_dataset = split_steps
     p.optimizers.n_split_dataset = n_blocks
+    if args.rows_log2 is not None:
+        p.field_packed_rows_log2 = args.rows_log2
     if args.block_wd is not None:
         p.optimizers.block_weight_decay = args.block_wd
     if args.block_lr is not None:

@@ -103,3 +103,51 @@ def test_fast_march_sample_spacing(ring_cameras):
     for run in runs:
         if len(run) > 1:
             np.testing.assert_allclose(run, run[0], rtol=1e-3)
+
+
+def test_hierarchical_march_matches_brute_force(ring_cameras):
+    """With a generous coarse budget the tree-cut march must reproduce the
+    brute-force leaf march exactly (same leaf set -> same lattice)."""
+    tree, oct_dev, rays_o, rays_d = setup(ring_cameras)
+    base = dict(max_samples=128, sample_l=1.0 / 32, max_hits=32,
+                ray_chunk=len(ring_cameras[0]))
+    noise = jnp.ones((rays_o.shape[0], 128))
+    brute = get_samples_fast(oct_dev, rays_o, rays_d, noise,
+                             jnp.asarray(1.0), SamplerConfig(**base))
+    # coarse_hits = full cut size: no ray can lose a cut node
+    m = int(oct_dev.cut_nodes.shape[0])
+    hier = get_samples_fast(oct_dev, rays_o, rays_d, noise,
+                            jnp.asarray(1.0),
+                            SamplerConfig(coarse_hits=m, **base))
+    assert np.array_equal(np.asarray(brute.valid), np.asarray(hier.valid))
+    v = np.asarray(brute.valid)
+    for name in ("ts", "dists", "world_pts", "trans_idx", "oct_idx",
+                 "block_idx"):
+        a, b = np.asarray(getattr(brute, name)), np.asarray(
+            getattr(hier, name))
+        assert np.allclose(a[v], b[v], atol=1e-5), name
+    assert np.allclose(np.asarray(brute.first_oct_dis),
+                       np.asarray(hier.first_oct_dis), atol=1e-5)
+
+
+def test_tree_cut_covers_every_leaf_once(ring_cameras):
+    """Every valid leaf appears in exactly one cut node's list."""
+    from gfnerf_tpu.sampler.perssampler import build_tree_cut
+
+    tree, oct_dev, _, _ = setup(ring_cameras)
+    leaf_idx = np.asarray(oct_dev.leaf_idx)
+    cut_nodes, cut_slots = build_tree_cut(tree, leaf_idx)
+    n_leaves = int(oct_dev.n_leaves)
+    slots = cut_slots[cut_slots >= 0]
+    assert len(slots) == n_leaves
+    assert len(np.unique(slots)) == n_leaves
+    # each cut node is an ancestor-or-self of its leaves
+    for i, node in enumerate(cut_nodes):
+        if node < 0:
+            continue
+        for s in cut_slots[i][cut_slots[i] >= 0]:
+            leaf = leaf_idx[s]
+            p = leaf
+            while p != node and p >= 0:
+                p = tree.parents[p]
+            assert p == node
