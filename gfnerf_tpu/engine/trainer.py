@@ -96,6 +96,9 @@ class Trainer:
         # progressive renders from a daemon thread between steps —
         # render requests serialize with train steps on the device queue)
         self.viewer = None
+        from gfnerf_tpu.viewer.server import TrainControl
+
+        self.control = TrainControl()
         if "viewer" in cfg.vis:
             import threading
 
@@ -103,12 +106,13 @@ class Trainer:
 
             self.viewer = ViewerServer(self.pipeline,
                                        port=cfg.viewer_port,
-                                       save_dir=cfg.get_base_dir())
+                                       save_dir=cfg.get_base_dir(),
+                                       control=self.control)
             t = threading.Thread(target=self.viewer.serve_forever,
                                  daemon=True)
             t.start()
             print(f"viewer: http://localhost:{cfg.viewer_port} "
-                  "(renders live during training)")
+                  "(renders + training controls live during training)")
 
     # ---------------------------------------------------------------- loop ----
 
@@ -120,6 +124,13 @@ class Trainer:
                     else pcfg.train_num_rays_per_batch)
         t_start = time.perf_counter()
         for step in range(self._start_step, cfg.max_num_iterations):
+            # viewer training controls (pause / stop+save), reference
+            # viewer_utils.py:65-280 training-state machine
+            self.control.wait_if_paused()
+            if self.control.stop:
+                print(f"[trainer] stop requested from viewer at step {step}")
+                self.save_checkpoint(step - 1 if step > 0 else 0)
+                return
             with TimeWriter(None, ITER_TRAIN_TIME, step) as t:
                 metrics = self.pipeline.get_train_loss_dict(step)
                 self.pipeline.after_train_iteration(step)
@@ -133,6 +144,10 @@ class Trainer:
                 self.writer.put_scalar(ETA, elapsed / frac - elapsed, step)
                 self.writer.put_dict(metrics, step)
                 self.writer.flush(step)
+                self.control.publish(
+                    step=step, rays_per_sec=num_rays / t.duration,
+                    **{k: v for k, v in metrics.items()
+                       if k in ("loss", "psnr")})
             self.eval_iteration(step)
             if (step + 1) % cfg.steps_per_save == 0:
                 self.save_checkpoint(step)

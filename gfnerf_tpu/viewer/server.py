@@ -13,6 +13,13 @@ reference's format (``nerfstudio/viewer_new`` camera-path editor +
 ``scripts/render.py --traj filename`` consume the same schema), closing the
 capture->render loop without the 11k-LoC JS client.
 
+Training controls: when the server is attached to a live Trainer it exposes
+the reference viewer's training-control panel
+(``nerfstudio/viewer/server/viewer_utils.py:65-280``: pause/resume training,
+"stop + save", live step/loss/rays-per-sec readout) through ``/status``
+(polled by the HUD) and ``/control`` — the Trainer's loop checks a shared
+``TrainControl`` between steps.
+
 Usage: ``python scripts/viewer.py --load-config .../config.yml``.
 """
 
@@ -21,10 +28,47 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
+
+
+class TrainControl:
+    """Shared state between the viewer thread and the Trainer loop.
+
+    The viewer mutates ``paused`` / ``stop`` from HTTP handlers; the Trainer
+    calls :meth:`wait_if_paused` between steps and publishes metrics into
+    ``status``.  Equivalent of the reference's training-state machine
+    (``viewer_utils.py:65-280``: "pause training" / "resume" buttons and the
+    step readout) without the websocket bridge.
+    """
+
+    def __init__(self):
+        self.paused = False
+        self.stop = False          # stop + save at the next step boundary
+        self.status: dict = {}     # latest published train metrics
+        self._lock = threading.Lock()
+
+    def publish(self, **metrics):
+        clean = {}
+        for k, v in metrics.items():
+            try:
+                clean[k] = float(v)
+            except (TypeError, ValueError):
+                clean[k] = str(v)
+        with self._lock:
+            self.status.update(clean)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {**self.status, "paused": self.paused,
+                    "stopping": self.stop}
+
+    def wait_if_paused(self, poll_s: float = 0.2):
+        while self.paused and not self.stop:
+            time.sleep(poll_s)
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>gfnerf-tpu viewer</title><style>
@@ -36,7 +80,10 @@ canvas{display:block;margin:auto;cursor:grab}
 K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="addKeyframe()">add keyframe</button>
 <button onclick="clearKeyframes()">clear</button>
-<button onclick="exportPath()">export camera_path.json</button></div>
+<button onclick="exportPath()">export camera_path.json</button>
+<div id="train" style="display:none">train: <span id="stats"></span>
+<button id="pauseBtn" onclick="control('pause')">pause</button>
+<button onclick="control('stop')">stop + save</button></div></div>
 <canvas id="c" width="640" height="480"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -102,6 +149,32 @@ async function exportPath() {
   a.click();
 }
 window.onkeydown = e => { if (e.key === 'k') addKeyframe(); };
+let paused = false;
+async function control(action) {
+  if (action === 'pause' && paused) action = 'resume';
+  await fetch('/control', {method:'POST', body: JSON.stringify({action})});
+  pollStatus();
+}
+async function pollStatus() {
+  try {
+    const res = await fetch('/status');
+    const s = await res.json();
+    if (!s.training) return;
+    document.getElementById('train').style.display = 'inline';
+    paused = s.paused;
+    document.getElementById('pauseBtn').textContent =
+        paused ? 'resume' : 'pause';
+    const parts = [];
+    if ('step' in s) parts.push('step ' + s.step);
+    if ('loss' in s) parts.push('loss ' + s.loss.toFixed(4));
+    if ('psnr' in s) parts.push('psnr ' + s.psnr.toFixed(2));
+    if ('rays_per_sec' in s) parts.push(Math.round(s.rays_per_sec) + ' rays/s');
+    if (s.stopping) parts.push('(stopping)');
+    document.getElementById('stats').textContent = parts.join(' | ');
+  } catch (e) {}
+}
+setInterval(pollStatus, 2000);
+pollStatus();
 render(2);
 </script></body></html>"""
 
@@ -190,13 +263,36 @@ def build_camera_path(keyframes, width, height, fov_deg, fps=24,
 class ViewerServer:
     def __init__(self, pipeline, port: int = 7007,
                  default_radius: float = 4.0, fov_deg: float = 60.0,
-                 save_dir: "Path | None" = None):
+                 save_dir: "Path | None" = None,
+                 control: "TrainControl | None" = None):
         self.pipeline = pipeline
         self.port = port
         self.default_radius = default_radius
         self.fov_deg = fov_deg
         self.save_dir = Path(save_dir) if save_dir else None
+        self.control = control
         self._lock = threading.Lock()
+
+    def _status(self) -> bytes:
+        doc = {"training": self.control is not None}
+        if self.control is not None:
+            doc.update(self.control.snapshot())
+        return json.dumps(doc).encode()
+
+    def _control(self, req: dict) -> bytes:
+        action = req.get("action")
+        if self.control is None:
+            return b'{"ok": false, "error": "no live training attached"}'
+        if action == "pause":
+            self.control.paused = True
+        elif action == "resume":
+            self.control.paused = False
+        elif action == "stop":
+            self.control.stop = True
+            self.control.paused = False
+        else:
+            return b'{"ok": false, "error": "unknown action"}'
+        return b'{"ok": true}'
 
     def _camera_path(self, req: dict) -> bytes:
         doc = build_camera_path(
@@ -242,6 +338,13 @@ class ViewerServer:
                 pass
 
             def do_GET(self):
+                if self.path == "/status":
+                    body = viewer._status()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 page = _PAGE.replace("__RADIUS__", str(radius))
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
@@ -254,6 +357,9 @@ class ViewerServer:
                 try:
                     if self.path == "/camera_path":
                         body = viewer._camera_path(req)
+                        ctype = "application/json"
+                    elif self.path == "/control":
+                        body = viewer._control(req)
                         ctype = "application/json"
                     else:
                         body = viewer._render(req)

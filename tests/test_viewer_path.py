@@ -74,3 +74,89 @@ def test_export_roundtrips_through_render_script():
     # fov -> focal conversion matches the export fov
     focal = 240 / 2 / np.tan(np.deg2rad(60.0) / 2)
     np.testing.assert_allclose(cams.fx[0], focal, rtol=1e-5)
+
+
+def test_train_control_http_roundtrip():
+    """Viewer training controls (reference viewer_utils.py:65-280): /status
+    reflects published metrics; /control pause/resume/stop mutate the shared
+    TrainControl the Trainer loop checks between steps."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from gfnerf_tpu.viewer.server import TrainControl, ViewerServer
+
+    ctl = TrainControl()
+    ctl.publish(step=42, loss=0.5, psnr=21.3, rays_per_sec=1e4)
+    server = ViewerServer(pipeline=None, port=0, control=ctl)
+
+    # run the real HTTP server on an ephemeral port
+    import http.server
+
+    held = {}
+
+    def run():
+        # serve_forever binds to self.port; bind manually for port 0
+        viewer = server
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                body = viewer._status()
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                body = viewer._control(req)
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(body)
+
+        httpd = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        held["port"] = httpd.server_address[1]
+        held["httpd"] = httpd
+        httpd.serve_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "port" in held:
+            break
+        time.sleep(0.02)
+    base = f"http://127.0.0.1:{held['port']}"
+
+    s = json.loads(urllib.request.urlopen(base + "/status").read())
+    assert s["training"] and s["step"] == 42 and not s["paused"]
+
+    def post(action):
+        req = urllib.request.Request(
+            base + "/control", data=json.dumps({"action": action}).encode())
+        return json.loads(urllib.request.urlopen(req).read())
+
+    assert post("pause")["ok"] and ctl.paused
+    # a paused control must block wait_if_paused until resumed
+    unblocked = []
+
+    def waiter():
+        ctl.wait_if_paused(poll_s=0.01)
+        unblocked.append(True)
+
+    w = threading.Thread(target=waiter, daemon=True)
+    w.start()
+    time.sleep(0.08)
+    assert not unblocked
+    assert post("resume")["ok"] and not ctl.paused
+    w.join(timeout=2)
+    assert unblocked
+
+    assert post("stop")["ok"] and ctl.stop and not ctl.paused
+    s = json.loads(urllib.request.urlopen(base + "/status").read())
+    assert s["stopping"]
+    assert not post("bogus")["ok"]
+    held["httpd"].shutdown()
