@@ -79,6 +79,89 @@ def _kernel(dens_ref, dts_ref, ts_ref, r_ref, g_ref, b_ref,
     depth_ref[:] = jnp.sum(w * ts_ref[:], axis=1, keepdims=True) / (acc + 1e-10)
 
 
+def _bwd_kernel(dens_ref, dts_ref, ts_ref, r_ref, g_ref, b_ref,
+                gw_ref, ga_ref, grgb_ref, gacc_ref, gdepth_ref,
+                gdens_ref, gdts_ref, gts_ref, gr_ref, gg_ref, gb_ref):
+    """Whole composite VJP in one VMEM pass per ray tile.
+
+    Recomputes the transmittance chain (forward Hillis-Steele prefix), then
+    folds every output cotangent (weights, alphas, rgb, acc, depth) into
+    g_density/g_dt/g_t/g_rgb with one reverse (suffix) scan — replacing the
+    ~15-op jnp vjp chain XLA otherwise materializes over (R, S) arrays.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = dens_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, dens_ref.shape, 1)
+
+    dd = dens_ref[:] * dts_ref[:]
+    alphas = 1.0 - jnp.exp(-dd)
+    prefix = dd
+    shift = 1
+    while shift < s:
+        rolled = pltpu.roll(prefix, shift, 1)
+        prefix = prefix + jnp.where(col >= shift, rolled, 0.0)
+        shift *= 2
+    trans = jnp.exp(-(prefix - dd))                # T_i
+    w = alphas * trans
+    ts = ts_ref[:]
+    acc = jnp.sum(w, axis=1, keepdims=True)
+    a_eps = acc + 1e-10
+    depth = jnp.sum(w * ts, axis=1, keepdims=True) / a_eps
+
+    # total dL/dw_i: direct + rgb/acc/depth render paths
+    gw_tot = (gw_ref[:]
+              + grgb_ref[:, 0:1] * r_ref[:]
+              + grgb_ref[:, 1:2] * g_ref[:]
+              + grgb_ref[:, 2:3] * b_ref[:]
+              + gacc_ref[:]
+              + gdepth_ref[:] * (ts - depth) / a_eps)
+
+    # w_i = alpha_i * T_i ; T_i = exp(-sum_{j<i} dd_j)
+    g_alpha = ga_ref[:] + gw_tot * trans
+    g_excl = -w * gw_tot                           # dL/dE_i
+    # dd_j feeds E_i for every i > j: exclusive suffix sum of g_excl
+    sfx = g_excl
+    shift = 1
+    while shift < s:
+        rolled = pltpu.roll(sfx, s - shift, 1)      # rotate by -shift mod s
+        sfx = sfx + jnp.where(col < s - shift, rolled, 0.0)
+        shift *= 2                                  # inclusive suffix
+    g_dd = g_alpha * (1.0 - alphas) + (sfx - g_excl)
+    gdens_ref[:] = g_dd * dts_ref[:]
+    gdts_ref[:] = g_dd * dens_ref[:]
+    gts_ref[:] = gdepth_ref[:] * w / a_eps
+    gr_ref[:] = grgb_ref[:, 0:1] * w
+    gg_ref[:] = grgb_ref[:, 1:2] * w
+    gb_ref[:] = grgb_ref[:, 2:3] * w
+
+
+def _composite_bwd_pallas(densities, dts, ts, rgbs, g, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gw, ga, grgb, gacc, gdepth = g
+    r, s = densities.shape
+
+    def spec(cols):
+        return pl.BlockSpec((TILE_R, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    rs = jax.ShapeDtypeStruct((r, s), jnp.float32)
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(r // TILE_R,),
+        in_specs=[spec(s)] * 6 + [spec(s), spec(s), spec(3), spec(1),
+                                  spec(1)],
+        out_specs=tuple(spec(s) for _ in range(6)),
+        out_shape=tuple(rs for _ in range(6)),
+        interpret=interpret,
+    )(densities, dts, ts, rgbs[..., 0], rgbs[..., 1], rgbs[..., 2],
+      gw, ga, grgb, gacc, gdepth)
+    g_dens, g_dts, g_ts, gr, gg, gb = outs
+    return g_dens, g_dts, g_ts, jnp.stack([gr, gg, gb], axis=-1)
+
+
 def _composite_pallas(densities, dts, ts, rgbs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -136,6 +219,12 @@ def _fwd(densities, dts, ts, rgbs):
 
 def _bwd(res, g):
     densities, dts, ts, rgbs = res
+    r, s = densities.shape
+    if (_on_tpu() and r % TILE_R == 0 and (s & (s - 1)) == 0):
+        try:
+            return _composite_bwd_pallas(densities, dts, ts, rgbs, g)
+        except Exception:
+            pass
     _, vjp = jax.vjp(_composite_reference, densities, dts, ts, rgbs)
     return vjp(g)
 

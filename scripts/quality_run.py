@@ -251,7 +251,11 @@ def main():
             args.out.write_text(json.dumps(results, indent=2))
     results["minutes"] = (time.time() - t0) / 60
     if args.diag:  # keep the end state inspectable post-hoc
-        ckpt = args.out.parent / f"quality_{args.config}_ckpt"
+        import shutil
+
+        ckpt = args.out.parent / (args.out.stem + "_ckpt")
+        if ckpt.exists():
+            shutil.rmtree(ckpt)
         pipe.save_checkpoint_state(ckpt, step)
         results["checkpoint"] = str(ckpt)
     args.out.write_text(json.dumps(results, indent=2))

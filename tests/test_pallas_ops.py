@@ -44,3 +44,28 @@ def test_fused_composite_gradients():
     g2 = jax.grad(loss_ref)(dens)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_fused_composite_bwd_kernel_matches_reference_vjp():
+    """The Pallas backward kernel (interpret mode on CPU) must reproduce the
+    jnp reference VJP for every input and every output cotangent."""
+    from gfnerf_tpu.ops.pallas.composite import _composite_bwd_pallas
+
+    rng = np.random.default_rng(2)
+    r, s = 16, 64
+    dens = jnp.asarray(rng.random((r, s)) * 5, jnp.float32)
+    dts = jnp.asarray(rng.random((r, s)) * 0.01 + 1e-3, jnp.float32)
+    ts = jnp.asarray(np.cumsum(rng.random((r, s)), -1), jnp.float32)
+    rgbs = jnp.asarray(rng.random((r, s, 3)), jnp.float32)
+    g = (jnp.asarray(rng.normal(size=(r, s)), jnp.float32),      # d w
+         jnp.asarray(rng.normal(size=(r, s)), jnp.float32),      # d alphas
+         jnp.asarray(rng.normal(size=(r, 3)), jnp.float32),      # d rgb
+         jnp.asarray(rng.normal(size=(r, 1)), jnp.float32),      # d acc
+         jnp.asarray(rng.normal(size=(r, 1)), jnp.float32))      # d depth
+
+    _, vjp = jax.vjp(_composite_reference, dens, dts, ts, rgbs)
+    want = vjp(g)
+    got = _composite_bwd_pallas(dens, dts, ts, rgbs, g, interpret=True)
+    for gname, a, b in zip(("dens", "dts", "ts", "rgbs"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5, err_msg=gname)
