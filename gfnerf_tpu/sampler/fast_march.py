@@ -128,20 +128,26 @@ def get_samples_fast(
         trc = jnp.clip(trans_h, 0, T - 1)
 
         # ---- per-(ray, leaf) step size from the entry-point Jacobian ----
+        # flat [j][i][k] warp rows: lane-contiguous slices instead of the
+        # (B, H, 12, 2, 4) structured gather (4/128-lane tiling; see
+        # OctreeDevice.w2xz_flat)
         p_entry = o[:, None, :] + near_h[..., None] * d[:, None, :]  # (B,H,3)
-        w2 = oct.w2xz[trc]                         # (B, H, 12, 2, 4)
-        wgt = oct.warp_weight[trc]                 # (B, H, 3, 12)
+        g = oct.w2xz_flat[trc]                     # (B, H, 96)
+        wf = oct.warp_weight_flat[trc]             # (B, H, 36)
         ph = jnp.concatenate(
             [p_entry, jnp.ones_like(p_entry[..., :1])], axis=-1)
-        xz = jnp.einsum("bhkij,bhj->bhki", w2, ph)  # (B, H, 12, 2)
-        a_ = xz[..., 0]
-        b_ = xz[..., 1]
-        A = w2[..., 0, :3]
-        Bm = w2[..., 1, :3]
-        dv = A / b_[..., None] - (a_ / (b_ * b_))[..., None] * Bm
-        proj = jnp.einsum("bhkj,bj->bhk", dv, d)
-        jd = jnp.einsum("bhck,bhk->bhc", wgt, proj)
-        jn = jnp.linalg.norm(jd, axis=-1) + 1e-6   # (B, H)
+        a_ = sum(g[..., j * 24: j * 24 + 12] * ph[..., j: j + 1]
+                 for j in range(4))                # (B, H, 12)
+        b_ = sum(g[..., j * 24 + 12: j * 24 + 24] * ph[..., j: j + 1]
+                 for j in range(4))
+        Ad = sum(g[..., j * 24: j * 24 + 12] * d[:, None, j: j + 1]
+                 for j in range(3))
+        Bd = sum(g[..., j * 24 + 12: j * 24 + 24] * d[:, None, j: j + 1]
+                 for j in range(3))
+        proj = Ad / b_ - (a_ / (b_ * b_)) * Bd     # (B, H, 12)
+        jd = [jnp.sum(wf[..., c * 12: (c + 1) * 12] * proj, axis=-1)
+              for c in range(3)]
+        jn = jnp.sqrt(jd[0] ** 2 + jd[1] ** 2 + jd[2] ** 2) + 1e-6  # (B, H)
 
         radius = jnp.linalg.norm(
             o[:, None, :] - oct.t_center[trc], axis=-1
@@ -159,28 +165,34 @@ def get_samples_fast(
         n_h = jnp.minimum(n_h, jnp.maximum(S - prefix, 0))
 
         s_idx = jnp.arange(S)[None, :]             # (1, S)
-        # Leaf index per sample slot via binary search: slots pack
-        # contiguously from 0 (prefix[0]=0, ends[j]=prefix[j+1]), so slot s
-        # belongs to the first leaf whose end exceeds s.  Replaces the
-        # previous one-hot (B, S, H) einsum assignment — O(S log H) gathers
-        # instead of 7 x (B*S*H) mult-adds.
+        # Leaf index per sample slot: slots pack contiguously from 0
+        # (prefix[0]=0, ends[j]=prefix[j+1]), so slot s belongs to the first
+        # leaf whose end exceeds s, i.e. j = #{h : ends_h <= s} — computed
+        # as a comparison-count over the H axis (pure VPU arithmetic, no
+        # gathers).  Profiled on v5e: per-element take_along_axis runs at
+        # ~300 M rows/s, so the former searchsorted/binary-search +
+        # 7 separate picks cost ~12 scalar gathers x (B*S) rows ~ 120 ms at
+        # the bench shape; the count + ONE packed wide-row gather below is
+        # ~6 ms (gathers are row-count bound, width nearly free).
         ends = prefix + n_h                        # (B, H) non-decreasing
-        qs = jnp.arange(S, dtype=ends.dtype)
-        j = jax.vmap(
-            lambda e: jnp.searchsorted(e, qs, side="right"))(ends)
+        j = jnp.sum((ends[:, None, :] <= s_idx[..., None]).astype(jnp.int32),
+                    axis=-1)                       # (B, S)
         got_s = s_idx < ends[:, -1:]               # slot within some leaf
         j = jnp.minimum(j, H - 1)
 
-        def pick(v_h, dtype=jnp.float32):
-            return jnp.take_along_axis(v_h, j, axis=1).astype(dtype)
-
-        near_s = pick(near_h)
-        base_s = pick(base)
-        prefix_s = pick(prefix)
-        trans_s = jnp.where(got_s, pick(trans_h, jnp.int32), -1)
-        node_s = jnp.where(got_s, pick(node_h, jnp.int32), -1)
-        block_s = jnp.where(got_s, pick(block_h, jnp.int32), -1)
-        radius_s = pick(radius)
+        # all per-(ray, leaf) values a sample needs, fetched in ONE gather:
+        # ints are carried as f32 (exact below 2^24; node capacity, T and
+        # n_blocks are far below that)
+        packed = jnp.stack(
+            [near_h, base, prefix.astype(jnp.float32), radius,
+             trans_h.astype(jnp.float32), node_h.astype(jnp.float32),
+             block_h.astype(jnp.float32)], axis=-1)  # (B, H, 7)
+        picked = jnp.take_along_axis(packed, j[..., None], axis=1)  # (B,S,7)
+        near_s, base_s, prefix_s, radius_s = (
+            picked[..., 0], picked[..., 1], picked[..., 2], picked[..., 3])
+        trans_s = jnp.where(got_s, picked[..., 4].astype(jnp.int32), -1)
+        node_s = jnp.where(got_s, picked[..., 5].astype(jnp.int32), -1)
+        block_s = jnp.where(got_s, picked[..., 6].astype(jnp.int32), -1)
 
         k_rel = s_idx - prefix_s                   # (B, S) within-leaf index
         t_s = near_s + base_s * (k_rel + nz)

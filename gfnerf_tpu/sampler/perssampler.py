@@ -73,6 +73,14 @@ class OctreeDevice:
     # warp arrays (fixed size T after construction)
     w2xz: jnp.ndarray          # (T, 12, 2, 4) f32
     warp_weight: jnp.ndarray   # (T, 3, 12) f32
+    # flat relayouts of the same tables for the hot warp/Jacobian paths:
+    # (T, 12, 2, 4) rows tile terribly on TPU (minor dim 4 of a 128-lane
+    # vreg) — gathering + computing through a flat (T, 96) row in
+    # [j][i][k] order (j the homogeneous-coordinate index, i num/den,
+    # k the 12 projections) keeps every slice lane-contiguous and runs the
+    # gather ~3.7x faster (measured v5e; PERF_NOTES.md)
+    w2xz_flat: jnp.ndarray     # (T, 96) f32 = transpose(w2xz, (0,3,2,1))
+    warp_weight_flat: jnp.ndarray  # (T, 36) f32 = warp_weight.reshape
     t_center: jnp.ndarray      # (T, 3) f32
     t_dis_summary: jnp.ndarray  # (T,) f32
 
@@ -198,6 +206,11 @@ def octree_to_device(tree: PersOctree, capacity: int,
         n_nodes=jnp.asarray(m, jnp.int32),
         w2xz=jnp.asarray(tree.w2xz),
         warp_weight=jnp.asarray(tree.weight),
+        w2xz_flat=jnp.asarray(
+            np.transpose(np.asarray(tree.w2xz), (0, 3, 2, 1)).reshape(
+                len(tree.w2xz), 96).copy()),
+        warp_weight_flat=jnp.asarray(
+            np.asarray(tree.weight).reshape(len(tree.weight), 36).copy()),
         t_center=jnp.asarray(tree.t_center),
         t_dis_summary=jnp.asarray(tree.t_dis_summary),
     )
@@ -271,30 +284,39 @@ def warp_points(oct: OctreeDevice, trans: jnp.ndarray, p: jnp.ndarray):
 
     trans: (R,) clamped indices; p: (R, 3). Returns warped (R, 3).
     """
-    w2 = oct.w2xz[trans]          # (R, 12, 2, 4)
-    w = oct.warp_weight[trans]    # (R, 3, 12)
+    g = oct.w2xz_flat[trans]           # (R, 96) [j][i][k] layout
+    wf = oct.warp_weight_flat[trans]   # (R, 36) [c][k]
     ph = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=-1)  # (R, 4)
-    xz = jnp.einsum("rkij,rj->rki", w2, ph)          # (R, 12, 2)
-    vals = xz[..., 0] / xz[..., 1]                   # (R, 12)
-    return jnp.einsum("rck,rk->rc", w, vals)         # (R, 3)
+    # lane-contiguous slices of the flat row; every op fuses into the
+    # gather consumer (the structured (R, 12, 2, 4) layout tiles 4/128
+    # lanes and ran ~3x slower — see OctreeDevice.w2xz_flat)
+    a = sum(g[:, j * 24: j * 24 + 12] * ph[:, j: j + 1] for j in range(4))
+    b = sum(g[:, j * 24 + 12: j * 24 + 24] * ph[:, j: j + 1]
+            for j in range(4))
+    vals = a / b                                     # (R, 12)
+    return jnp.stack(
+        [jnp.sum(wf[:, c * 12: (c + 1) * 12] * vals, axis=-1)
+         for c in range(3)], axis=-1)                # (R, 3)
 
 
 def warp_jacobian_dir(oct: OctreeDevice, trans: jnp.ndarray, p: jnp.ndarray,
                       d: jnp.ndarray):
     """||J(p) . d|| for the warp (QueryFrameTransformJac, cu:172-188)."""
-    w2 = oct.w2xz[trans]          # (R, 12, 2, 4)
-    w = oct.warp_weight[trans]    # (R, 3, 12)
+    g = oct.w2xz_flat[trans]           # (R, 96) [j][i][k]
+    wf = oct.warp_weight_flat[trans]   # (R, 36) [c][k]
     ph = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=-1)
-    xz = jnp.einsum("rkij,rj->rki", w2, ph)          # (R, 12, 2)
-    a = xz[..., 0]
-    b = xz[..., 1]
-    # dv/dxyz_k = (1/b) * A_k - (a/b^2) * B_k with A,B rows of w2xz[:, :, :3]
-    A = w2[..., 0, :3]            # (R, 12, 3)
-    B = w2[..., 1, :3]
-    dv_dxyz = A / b[..., None] - (a / (b * b))[..., None] * B  # (R, 12, 3)
-    proj = jnp.einsum("rkj,rj->rk", dv_dxyz, d)      # (R, 12)
-    jd = jnp.einsum("rck,rk->rc", w, proj)           # (R, 3)
-    return jnp.linalg.norm(jd, axis=-1)
+    a = sum(g[:, j * 24: j * 24 + 12] * ph[:, j: j + 1] for j in range(4))
+    b = sum(g[:, j * 24 + 12: j * 24 + 24] * ph[:, j: j + 1]
+            for j in range(4))
+    # dv/dxyz_j = (1/b) * A_j - (a/b^2) * B_j with A_j/B_j the j < 3 slices;
+    # proj = sum_j dv_j d_j folds into two lane-contiguous accumulations
+    Ad = sum(g[:, j * 24: j * 24 + 12] * d[:, j: j + 1] for j in range(3))
+    Bd = sum(g[:, j * 24 + 12: j * 24 + 24] * d[:, j: j + 1]
+             for j in range(3))
+    proj = Ad / b - (a / (b * b)) * Bd               # (R, 12)
+    jd = [jnp.sum(wf[:, c * 12: (c + 1) * 12] * proj, axis=-1)
+          for c in range(3)]
+    return jnp.sqrt(jd[0] ** 2 + jd[1] ** 2 + jd[2] ** 2)
 
 
 def _ray_aabb(o, d, center, side):
