@@ -90,6 +90,13 @@ class FieldConfig:
     mlp_dtype: str = "float32"     # "bfloat16" = fp16-tcnn-class compute (N6)
     packed_rows_log2: int = 15
     packed_row_width: int = 128
+    block_rows_log2: Optional[int] = None
+    """Residual-table row count (log2) when it should differ from the global
+    table's — e.g. small global + full-size residuals to reproduce the
+    capacity-bound regime the focal stage exists for (the reference uses
+    equal 2^21 tables but each block covers ~1/10 of the scene,
+    gfnerf/config.py:119-127). None = packed_rows_log2. Row count is read
+    from the table's own shape in the encode, so sizes may differ freely."""
     use_proposal: bool = False
     """Proposal-guided resampling probe (models/gfnerf.py): a tiny packed
     hash table + 1-layer MLP whose density concentrates the main field's
@@ -144,10 +151,11 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
     if cfg.hash_layout == "packed":
         from gfnerf_tpu.fields.packed_hash import init_packed_hash_params
 
-        def make_table(mode):
+        def make_table(mode, rows_log2=None):
             return init_packed_hash_params(
                 seed=int(rng.integers(1 << 31)),
-                n_rows_log2=cfg.packed_rows_log2,
+                n_rows_log2=(rows_log2 if rows_log2 is not None
+                             else cfg.packed_rows_log2),
                 n_volumes=cfg.n_volumes,
                 n_levels=cfg.num_levels,
                 n_channels=cfg.features_per_level,
@@ -155,10 +163,11 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
                 init_mode=mode,
             )
     else:
-        def make_table(mode):
+        def make_table(mode, rows_log2=None):
             p = init_hash_params(
                 seed=int(rng.integers(1 << 31)),
-                log2_table_size=cfg.log2_hashmap_size,
+                log2_table_size=(rows_log2 if rows_log2 is not None
+                                 else cfg.log2_hashmap_size),
                 n_volumes=cfg.n_volumes,
                 n_levels=cfg.num_levels,
                 n_channels=cfg.features_per_level,
@@ -170,7 +179,8 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
     # (nerfacto_field.py:200, :345)
     g_feat, g_prim, g_bias = make_table("reset")
     if cfg.n_blocks > 0:
-        bts = [make_table("zero") for _ in range(cfg.n_blocks)]
+        bts = [make_table("zero", cfg.block_rows_log2)
+               for _ in range(cfg.n_blocks)]
         block_feats = jnp.stack([b[0] for b in bts], axis=0)
         block_prims = jnp.stack([b[1] for b in bts], axis=0)
         block_biases = jnp.stack([b[2] for b in bts], axis=0)

@@ -113,37 +113,71 @@ def _div_pack(cell, pack):
     return jnp.floor_divide(cell, pack)
 
 
-def _lattice_keys_weights(pt, pack):
-    """Per-level supercell decomposition.
+def _decompose_dim(pk, pack):
+    """One-dimension supercell decomposition on a flat (P,) coordinate.
 
-    pt: (P, 3) continuous grid coords (already scaled + biased).
-    Returns (sup (P,3) int32 supercell coords, wgt (P, (pack+1)^3) trilinear
-    weights over the supercell corner lattice — nonzero only at the 8 corners
-    of the cell containing pt).
+    All per-point intermediates in this module are kept as SEPARATE (P,)
+    arrays (struct-of-arrays): a (P, 3) array gets XLA:TPU's T(8, 128)
+    layout — the minor dim of 3 padded to 128 lanes, a 42.7x memory
+    expansion — and the backward's rematerialized scan-body temps at that
+    layout were the direct cause of a 20 GB HBM OOM on the proposal path
+    (results/quality_prop_r3.log).  (P,) arrays tile losslessly.
     """
-    cell_f = jnp.floor(pt)
-    frac = pt - cell_f                       # (P, 3) in [0, 1)
+    cell_f = jnp.floor(pk)
+    frac = pk - cell_f                       # (P,) in [0, 1)
     cell = cell_f.astype(jnp.int32)
-    sup = _div_pack(cell, pack)              # (P, 3)
-    local = cell - sup * pack                # (P, 3) in [0, pack)
-    e = pack + 1
-    u = jnp.arange(e, dtype=jnp.int32)[None, :]           # (1, e)
-    # per-dim weight over lattice positions: (1-f) at local, f at local+1
-    def dim_w(k):
-        lk = local[:, k:k + 1]
-        fk = frac[:, k:k + 1]
-        return (u == lk) * (1.0 - fk) + (u == lk + 1) * fk  # (P, e)
-    wx, wy, wz = dim_w(0), dim_w(1), dim_w(2)
-    wgt = (wx[:, :, None, None] * wy[:, None, :, None]
-           * wz[:, None, None, :]).reshape(pt.shape[0], e ** 3)
-    return sup, wgt
+    sup = _div_pack(cell, pack)              # (P,)
+    local = cell - sup * pack                # (P,) in [0, pack)
+    return sup, local, frac
 
 
-def _hash_rows(sup, prim, n_rows):
-    """Supercell XOR hash (Hash3DAnchored_cuda.cu:48-55 scheme)."""
-    s = sup.astype(jnp.uint32)
-    h = (s[:, 0] * prim[:, 0]) ^ (s[:, 1] * prim[:, 1]) ^ (s[:, 2] * prim[:, 2])
+def _dim_w(local, frac, e):
+    """(P, e) per-dim lattice weights: (1-f) at local, f at local+1."""
+    u = jnp.arange(e, dtype=jnp.int32)[None, :]
+    lk = local[:, None]
+    fk = frac[:, None]
+    return (u == lk) * (1.0 - fk) + (u == lk + 1) * fk
+
+
+def _lattice_weights(wx, wy, wz):
+    """(P, e^3) trilinear lattice weights from per-dim (P, e) factors."""
+    p, e = wx.shape
+    return (wx[:, :, None, None] * wy[:, None, :, None]
+            * wz[:, None, None, :]).reshape(p, e ** 3)
+
+
+def _hash_flat(sx, sy, sz, ux, uy, uz, n_rows):
+    """Supercell XOR hash (Hash3DAnchored_cuda.cu:48-55 scheme) from flat
+    (P,) supercell coords and flat (P,) per-point primes."""
+    h = (sx.astype(jnp.uint32) * ux
+         ^ sy.astype(jnp.uint32) * uy
+         ^ sz.astype(jnp.uint32) * uz)
     return (h & jnp.uint32(n_rows - 1)).astype(jnp.int32)
+
+
+def _anchor_table(prim_pool, bias_pool):
+    """(V, L*8) combined anchor table: each level's 3 primes (bitcast to
+    f32) + 3 biases + 2 pad lanes.  ONE (P, L*8) gather then serves every
+    level of the encode — gathers are row-count bound on TPU, so folding
+    the per-level prim and bias gathers (2L P-row gathers) into a single
+    P-row gather removes them from the wall entirely."""
+    n_levels, n_volumes, _ = prim_pool.shape
+    pf = jax.lax.bitcast_convert_type(prim_pool, jnp.float32)  # (L, V, 3)
+    row = jnp.concatenate(
+        [pf, bias_pool, jnp.zeros((n_levels, n_volumes, 2), jnp.float32)],
+        axis=-1)                                               # (L, V, 8)
+    return jnp.moveaxis(row, 0, 1).reshape(n_volumes, n_levels * 8)
+
+
+def _anchor_slices(ar, base):
+    """Per-level flat components from the combined anchor gather.
+
+    ar: (P, L*8) gathered rows; returns (primes (ux,uy,uz) u32,
+    biases (bx,by,bz) f32) — every slice lane-contiguous and (P,)."""
+    ux = jax.lax.bitcast_convert_type(ar[:, base + 0], jnp.uint32)
+    uy = jax.lax.bitcast_convert_type(ar[:, base + 1], jnp.uint32)
+    uz = jax.lax.bitcast_convert_type(ar[:, base + 2], jnp.uint32)
+    return (ux, uy, uz), (ar[:, base + 3], ar[:, base + 4], ar[:, base + 5])
 
 
 def packed_hash_encode_raw(
@@ -167,16 +201,23 @@ def packed_hash_encode_raw(
     n_levels, n_rows, row_width = feat_pool.shape
     n_volumes = prim_pool.shape[1]
     lattice = (pack + 1) ** 3
+    e = pack + 1
     valid = (anchors >= 0)[:, None]
     vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
     scales = _level_scales(n_levels)
     flat = feat_pool.astype(jnp.bfloat16).reshape(n_levels * n_rows,
                                                   row_width)
+    ar = _anchor_table(prim_pool, bias_pool)[vol]   # (P, L*8), one gather
+    px0, py0, pz0 = points[:, 0], points[:, 1], points[:, 2]
     outs = []
     for l in range(n_levels):
-        pt = points * scales[l] + bias_pool[l][vol]
-        sup, wgt = _lattice_keys_weights(pt, pack)
-        h = _hash_rows(sup, prim_pool[l][vol], n_rows)
+        (ux, uy, uz), (bx, by, bz) = _anchor_slices(ar, l * 8)
+        sx, lx, fx = _decompose_dim(px0 * scales[l] + bx, pack)
+        sy, ly, fy = _decompose_dim(py0 * scales[l] + by, pack)
+        sz, lz, fz = _decompose_dim(pz0 * scales[l] + bz, pack)
+        wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
+                               _dim_w(lz, fz, e))
+        h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
         rows = flat[h + l * n_rows][:, : lattice * n_channels]
         rows = rows.reshape(-1, lattice, n_channels)
         outs.append(jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16), rows,
@@ -282,29 +323,36 @@ def _phe_bwd(n_channels, pack, res, g):
     scales = jnp.asarray(_level_scales(n_levels))
     g = g.reshape(p, n_levels, n_channels)
 
+    ar = _anchor_table(prim_pool, bias_pool)[vol]   # (P, L*8), one gather
+    px0, py0, pz0 = points[:, 0], points[:, 1], points[:, 2]
+    e = pack + 1
+
     def level_fn(carry, xs):
-        prim_l, bias_l, scale_l, g_l = xs
-        pt = points * scale_l + bias_l[vol]
-        cell_f = jnp.floor(pt)
-        frac = pt - cell_f
-        cell = cell_f.astype(jnp.int32)
-        sup = _div_pack(cell, pack)
-        local = (cell - sup * pack).astype(jnp.float32)
-        h = _hash_rows(sup, prim_l[vol], n_rows)
+        lidx, scale_l, g_l = xs
+        arl = jax.lax.dynamic_slice_in_dim(ar, lidx * 8, 8, axis=1)
+        (ux, uy, uz), (bx, by, bz) = _anchor_slices(arl, 0)
+        sx, lx, fx = _decompose_dim(px0 * scale_l + bx, pack)
+        sy, ly, fy = _decompose_dim(py0 * scale_l + by, pack)
+        sz, lz, fz = _decompose_dim(pz0 * scale_l + bz, pack)
+        h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
         # narrow per-row inputs; the wide (P, row_width) payload is
-        # recomputed AFTER the permutation gather (see _sorted_segment_rows)
+        # recomputed AFTER the permutation gather (see _sorted_segment_rows).
+        # local + frac merge losslessly into one column per dim
+        # (cf = local + frac < pack + 1; floor recovers local exactly).
         gv = g_l * valid[:, None]
-        inp = jnp.concatenate([frac, local, gv], axis=-1)   # (P, 6 + C)
+        inp = jnp.concatenate(
+            [(lx.astype(jnp.float32) + fx)[:, None],
+             (ly.astype(jnp.float32) + fy)[:, None],
+             (lz.astype(jnp.float32) + fz)[:, None], gv], axis=-1)  # (P, 3+C)
 
         def payload_fn(s):
-            sf, sl, sg = s[:, :3], s[:, 3:6], s[:, 6:]
-            e = pack + 1
-            u = jnp.arange(e, dtype=jnp.float32)[None, :]
-            def dim_w(k):
-                return ((u == sl[:, k:k + 1]) * (1.0 - sf[:, k:k + 1])
-                        + (u == sl[:, k:k + 1] + 1) * sf[:, k:k + 1])
-            wgt = (dim_w(0)[:, :, None, None] * dim_w(1)[:, None, :, None]
-                   * dim_w(2)[:, None, None, :]).reshape(p, e ** 3)
+            scf, sg = s[:, :3], s[:, 3:]
+            sl = jnp.floor(scf)
+            sf = scf - sl
+            wgt = _lattice_weights(
+                _dim_w(sl[:, 0], sf[:, 0], e),
+                _dim_w(sl[:, 1], sf[:, 1], e),
+                _dim_w(sl[:, 2], sf[:, 2], e))
             pay = (wgt[:, :, None] * sg[:, None, :]).reshape(
                 p, lattice * n_channels)
             # the prefix matmul quantizes to bf16 anyway; storing the wide
@@ -324,7 +372,8 @@ def _phe_bwd(n_channels, pack, res, g):
 
     _, grads = jax.lax.scan(
         level_fn, None,
-        (prim_pool, bias_pool, scales, jnp.moveaxis(g, 1, 0)),
+        (jnp.arange(n_levels, dtype=jnp.int32), scales,
+         jnp.moveaxis(g, 1, 0)),
     )
     return (grads, None, None, None, None)
 

@@ -61,6 +61,7 @@ class GFNerfPipelineConfig:
     field_features_per_level: int = 2
     field_hash_layout: str = "anchored"   # "anchored" | "packed" (fields/packed_hash.py)
     field_packed_rows_log2: int = 15
+    field_block_rows_log2: int | None = None  # residual-table rows when != global
     field_mlp_dtype: str = "float32"      # "bfloat16" = tcnn-fp16-class compute
     field_use_proposal: bool = False      # proposal probe (fields/field.py)
     field_warp_mode: str = "pers"         # "identity" = world-space ablation
@@ -137,6 +138,7 @@ class GFNerfPipeline:
             camera_opt_mode=config.camera_opt_mode,
             hash_layout=config.field_hash_layout,
             packed_rows_log2=config.field_packed_rows_log2,
+            block_rows_log2=config.field_block_rows_log2,
             mlp_dtype=config.field_mlp_dtype,
             use_proposal=config.field_use_proposal,
             warp_mode=config.field_warp_mode,

@@ -86,12 +86,32 @@ def render_spheres(c2w, fx, fy, cx, cy, w, h,
 
 
 def render_textured_scene(c2w, fx, fy, cx, cy, w, h,
-                          spheres: np.ndarray = SPHERES) -> np.ndarray:
+                          spheres: np.ndarray = SPHERES,
+                          smooth: bool = False,
+                          supersample: int = 1) -> np.ndarray:
     """Analytic render with high-frequency content: a checkered/noise ground
     plane at z=0, procedurally textured spheres, sky gradient.  The closest
     stand-in for a real capture obtainable in this offline environment —
     PSNR differences between models are driven by texture detail rather
-    than flat shading. (N, H, W, 3)."""
+    than flat shading. (N, H, W, 3).
+
+    ``smooth``/``supersample``: the band-limited photo-consistent variant
+    (QUALITY.md findings 5-6).  The default point-sampled hard-checker GT
+    aliases across views at 160x120 — the resulting view-inconsistency puts
+    a ~20.5 dB ceiling on EVERY model and makes residual-table capacity
+    fit pure noise.  ``smooth`` replaces the checker with a sinusoidal
+    quasi-checker, drops the unbounded-frequency uv-product texture term,
+    and fades ground texture to its mean with distance (an analytic
+    mipmap); ``supersample`` box-averages an ss x ss render (silhouette
+    anti-aliasing).  Together the GT becomes representable by a
+    one-ray-per-pixel renderer, so extra field capacity maps to real
+    signal instead of aliasing noise."""
+    if supersample > 1:
+        ss = supersample
+        big = render_textured_scene(
+            c2w, fx * ss, fy * ss, cx * ss, cy * ss, w * ss, h * ss,
+            spheres, smooth=smooth, supersample=1)
+        return big.reshape(len(c2w), h, ss, w, ss, 3).mean(axis=(2, 4))
     n = len(c2w)
     yy, xx = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
                          indexing="ij")
@@ -102,8 +122,11 @@ def render_textured_scene(c2w, fx, fy, cx, cy, w, h,
     def tex(u, v):
         """Procedural multi-scale texture in [0, 1]."""
         t = (0.5 + 0.25 * np.sin(3.1 * u) * np.sin(2.7 * v)
-             + 0.15 * np.sin(9.3 * u + 1.7) * np.cos(8.1 * v)
-             + 0.10 * np.sin(23.0 * u * v + 0.3))
+             + 0.15 * np.sin(9.3 * u + 1.7) * np.cos(8.1 * v))
+        if not smooth:
+            # unbounded local frequency as |u*v| grows — deliberately
+            # alias-prone detail for the hard variant
+            t = t + 0.10 * np.sin(23.0 * u * v + 0.3)
         return np.clip(t, 0, 1)
 
     for i in range(n):
@@ -121,9 +144,21 @@ def render_textured_scene(c2w, fx, fy, cx, cy, w, h,
         tg = (-0.8 - o[2]) / np.where(np.abs(dz) < 1e-6, 1e-6, dz)
         hit_g = (tg > 0) & (dz < 0)
         pg = o + tg[..., None] * d
-        checker = ((np.floor(pg[..., 0] * 2) + np.floor(pg[..., 1] * 2))
-                   % 2).astype(np.float32)
+        if smooth:
+            # sinusoidal quasi-checker (no step edges) at the same period
+            checker = (0.5 + 0.5 * np.sin(np.pi * pg[..., 0])
+                       * np.sin(np.pi * pg[..., 1])).astype(np.float32)
+        else:
+            checker = ((np.floor(pg[..., 0] * 2) + np.floor(pg[..., 1] * 2))
+                       % 2).astype(np.float32)
         gt_tex = tex(pg[..., 0] * 2.3, pg[..., 1] * 2.3)
+        if smooth:
+            # analytic mipmap: fade texture to its mean with ground
+            # distance — far grazing-angle pixels see smooth color
+            r2 = pg[..., 0] ** 2 + pg[..., 1] ** 2
+            fade = np.exp(-r2 / (2.0 * 12.0 ** 2)).astype(np.float32)
+            checker = 0.5 + (checker - 0.5) * fade
+            gt_tex = 0.5 + (gt_tex - 0.5) * fade
         gcol = np.stack([
             0.25 + 0.35 * checker + 0.2 * gt_tex,
             0.22 + 0.28 * checker + 0.2 * gt_tex,

@@ -58,7 +58,22 @@ def build_workload(config: str, n_rays: int):
                         n_rand_pts=4096, vis_res_w=64, seed=0)
     oct_dev = octree_to_device(tree, capacity=32768)
 
-    if config == "prop":
+    if config == "quality":
+        # the quality-positive bench default (bench.py): 384-slot march at
+        # end-state fineness with auto-calibrated step length
+        from bench import _calibrate_sample_l
+        S = 384
+        sample_l = _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy,
+                                       w, h, S)
+        scfg = SamplerConfig(max_samples=S, sample_l=sample_l,
+                             locate_iters=12)
+        fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
+                           num_levels=8, features_per_level=4,
+                           hash_layout="packed", packed_rows_log2=15,
+                           n_blocks=2, mlp_dtype="bfloat16")
+        mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
+                                 samples_budget_per_ray=S)
+    elif config == "prop":
         S = 160
         scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256,
                              locate_iters=12)
@@ -122,7 +137,8 @@ def timeit(fn, args, iters, readback):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="perf", choices=["perf", "prop"])
+    ap.add_argument("--config", default="perf",
+                    choices=["perf", "prop", "quality"])
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", type=Path, default=None)
@@ -143,7 +159,8 @@ def main():
     R, S = args.rays, w["S"]
     scfg, fcfg, mcfg = w["scfg"], w["fcfg"], w["mcfg"]
     key = jax.random.PRNGKey(0)
-    fineness = jnp.asarray(4.0, jnp.float32)
+    fineness = jnp.asarray(1.0 if args.config == "quality" else 4.0,
+                           jnp.float32)
     results = {"config": args.config, "rays": R, "S": S}
 
     def rb_sum(x):

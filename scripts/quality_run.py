@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_scene(tmp: Path, n_train=72, n_val=6, img_wh=(160, 120)):
+def build_scene(tmp: Path, n_train=72, n_val=6, img_wh=(160, 120),
+                variant="textured"):
     from gfnerf_tpu.utils.synthetic import render_textured_scene, ring_cameras
 
     total = n_train + n_val
@@ -37,7 +38,9 @@ def build_scene(tmp: Path, n_train=72, n_val=6, img_wh=(160, 120)):
     c2w = np.concatenate([c2w1, c2w2])
     fx = np.concatenate([fx1, fx2]); fy = np.concatenate([fy1, fy2])
     cx = np.concatenate([cx1, cx2]); cy = np.concatenate([cy1, cy2])
-    imgs = render_textured_scene(c2w, fx, fy, cx, cy, w, h)
+    imgs = render_textured_scene(
+        c2w, fx, fy, cx, cy, w, h, smooth=(variant == "smooth"),
+        supersample=2 if variant == "smooth" else 1)
     rng = np.random.default_rng(0)
     perm = rng.permutation(total)
     tr, va = perm[:n_train], perm[n_train:]
@@ -105,13 +108,25 @@ def main():
                          "milestone + eval after every split")
     ap.add_argument("--out", type=Path,
                     default=Path("/tmp/quality_results.json"))
-    ap.add_argument("--scene-dir", type=Path,
-                    default=Path("/tmp/quality_scene"))
+    ap.add_argument("--scene-dir", type=Path, default=None,
+                    help="default: /tmp/quality_scene[_<variant>]")
+    ap.add_argument("--scene-variant", default="textured",
+                    choices=["textured", "smooth"],
+                    help="smooth: band-limited photo-consistent GT "
+                         "(sin quasi-checker, distance-faded texture, 2x "
+                         "supersampled render) — the scene class where "
+                         "extra capacity maps to signal, QUALITY.md "
+                         "findings 5-6")
     ap.add_argument("--init-steps", type=int, default=None)
     ap.add_argument("--split-steps", type=int, default=None)
     ap.add_argument("--block-wd", type=float, default=None,
                     help="residual-table weight decay (finding-4 fix)")
     ap.add_argument("--block-lr", type=float, default=None)
+    ap.add_argument("--block-rows-log2", type=int, default=None,
+                    help="residual-table rows (log2) when != global: small "
+                         "global + full residual reproduces the "
+                         "capacity-bound regime (reference: equal 2^21 "
+                         "tables but each block covers ~1/10 the scene)")
     ap.add_argument("--rows-log2", type=int, default=None,
                     help="hash rows per level (global AND residual tables): "
                          "smaller makes global capacity the binding "
@@ -132,9 +147,13 @@ def main():
     from gfnerf_tpu.engine.trainer import Trainer
 
     scene = args.scene_dir
+    if scene is None:
+        suffix = "" if args.scene_variant == "textured" else (
+            "_" + args.scene_variant)
+        scene = Path("/tmp/quality_scene" + suffix)
     if not (scene / "train.npz").exists():
         print("building scene ...", flush=True)
-        build_scene(scene)
+        build_scene(scene, variant=args.scene_variant)
     val_imgs = np.load(scene / "val.npz")["images"]
     base = trivial_baselines(val_imgs)
     print("trivial baselines:", base, flush=True)
@@ -187,6 +206,8 @@ def main():
     p.optimizers.n_split_dataset = n_blocks
     if args.rows_log2 is not None:
         p.field_packed_rows_log2 = args.rows_log2
+    if args.block_rows_log2 is not None:
+        p.field_block_rows_log2 = args.block_rows_log2
     if args.block_wd is not None:
         p.optimizers.block_weight_decay = args.block_wd
     if args.block_lr is not None:

@@ -154,3 +154,30 @@ def test_forward_valid_masking():
     anc = jnp.full((8,), -1, jnp.int32)
     out = packed_hash_encode_raw(feat, prim, bias, pts, anc, C, pack)
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_block_rows_log2_decoupled():
+    """FieldConfig.block_rows_log2: residual tables may be a different size
+    than the global table (the capacity-bound focal regime, QUALITY.md
+    finding 5) — row count is read from each table's own shape."""
+    from gfnerf_tpu.fields.field import (
+        STAGE_BLOCK, FieldConfig, field_density, init_field_params)
+
+    cfg = FieldConfig(num_images=4, n_volumes=4, num_levels=4,
+                      features_per_level=4, hash_layout="packed",
+                      packed_rows_log2=7, block_rows_log2=9, n_blocks=2)
+    params, statics = init_field_params(cfg, seed=0)
+    assert params.global_feat.shape[1] == 128
+    assert params.block_feats.shape[2] == 512
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.5, 0.5, (32, 3)), jnp.float32)
+    anc = jnp.zeros((32,), jnp.int32)
+
+    def loss(tbl):
+        d, _ = field_density(params, statics, cfg, pts, anc, STAGE_BLOCK,
+                             0, tbl)
+        return jnp.sum(d)
+
+    g = jax.grad(loss)(params.block_feats[0])
+    assert g.shape == params.block_feats[0].shape
+    assert bool(jnp.any(g != 0))
