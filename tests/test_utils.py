@@ -167,3 +167,24 @@ def test_vis_plots(tmp_path):
     k = vis_samples_ply(pts, vals, valid, tmp_path / "s.ply")
     assert k == 40
     assert "element vertex 40" in (tmp_path / "s.ply").read_text()
+
+
+def test_smooth_scene_variant():
+    """Band-limited GT variant (QUALITY.md findings 5-7): smooth must
+    change the ground texture (no hard checker) and supersampling must
+    box-average exactly."""
+    import numpy as np
+
+    from gfnerf_tpu.utils.synthetic import render_textured_scene, ring_cameras
+
+    c2w, fx, fy, cx, cy, w, h = ring_cameras(2, img_wh=(64, 48))
+    hard = render_textured_scene(c2w, fx, fy, cx, cy, w, h)
+    smooth = render_textured_scene(c2w, fx, fy, cx, cy, w, h, smooth=True)
+    assert hard.shape == smooth.shape == (2, 48, 64, 3)
+    assert float(np.abs(hard - smooth).max()) > 0.05
+    ss = render_textured_scene(c2w, fx, fy, cx, cy, w, h, smooth=True,
+                               supersample=2)
+    big = render_textured_scene(c2w, fx * 2, fy * 2, cx * 2, cy * 2,
+                                w * 2, h * 2, smooth=True)
+    np.testing.assert_allclose(
+        ss, big.reshape(2, 48, 2, 64, 2, 3).mean(axis=(2, 4)), atol=1e-6)
