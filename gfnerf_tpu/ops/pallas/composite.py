@@ -22,6 +22,7 @@ CPU) and is validated against it in tests/test_pallas_ops.py.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -190,18 +191,33 @@ def _composite_pallas(densities, dts, ts, rgbs):
     return outs
 
 
+# Tri-state kernel availability, decided once per process: None = untried,
+# True = Pallas path works, False = it raised (warned once, jnp fallback
+# thereafter).  Avoids re-raising + swallowing the same exception every step,
+# which hid both the error and the resulting perf regression.
+_PALLAS_FWD_OK: "bool | None" = None
+_PALLAS_BWD_OK: "bool | None" = None
+
+
 @jax.custom_vjp
 def fused_composite(densities, dts, ts, rgbs):
     """(weights, alphas, rgb, acc, depth) from (R,S) samples.
 
-    Pallas on TPU, jnp reference elsewhere; backward always via the jnp
-    formulation (XLA fuses it well).
+    Pallas on TPU, jnp reference elsewhere; backward via the fused Pallas
+    VJP when shapes allow, else the jnp formulation (XLA fuses it well).
     """
-    if jax.default_backend() in ("tpu",) or _on_tpu():
+    global _PALLAS_FWD_OK
+    if (jax.default_backend() in ("tpu",) or _on_tpu()) and \
+            _PALLAS_FWD_OK is not False:
         try:
-            return _composite_pallas(densities, dts, ts, rgbs)
-        except Exception:
-            pass
+            out = _composite_pallas(densities, dts, ts, rgbs)
+            _PALLAS_FWD_OK = True
+            return out
+        except Exception as e:
+            _PALLAS_FWD_OK = False
+            warnings.warn(
+                f"Pallas composite forward unavailable, using jnp fallback "
+                f"(slower): {type(e).__name__}: {e}")
     return _composite_reference(densities, dts, ts, rgbs)
 
 
@@ -218,13 +234,20 @@ def _fwd(densities, dts, ts, rgbs):
 
 
 def _bwd(res, g):
+    global _PALLAS_BWD_OK
     densities, dts, ts, rgbs = res
     r, s = densities.shape
-    if (_on_tpu() and r % TILE_R == 0 and (s & (s - 1)) == 0):
+    if (_on_tpu() and r % TILE_R == 0 and (s & (s - 1)) == 0
+            and _PALLAS_BWD_OK is not False):
         try:
-            return _composite_bwd_pallas(densities, dts, ts, rgbs, g)
-        except Exception:
-            pass
+            out = _composite_bwd_pallas(densities, dts, ts, rgbs, g)
+            _PALLAS_BWD_OK = True
+            return out
+        except Exception as e:
+            _PALLAS_BWD_OK = False
+            warnings.warn(
+                f"Pallas composite backward unavailable, using jnp VJP "
+                f"(slower): {type(e).__name__}: {e}")
     _, vjp = jax.vjp(_composite_reference, densities, dts, ts, rgbs)
     return vjp(g)
 

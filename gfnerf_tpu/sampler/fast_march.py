@@ -93,6 +93,9 @@ def get_samples_fast(
         if M > 0:
             # ---- phase 1: slab test the tree cut, keep the nearest M ----
             near_c, _, hit_c = slab(o, inv, cut_c, cut_s, cut_ok[None])
+            # cut-level truncation: a ray crossing more than M cut nodes
+            # loses whole subtrees before the leaf phase even runs
+            cut_dropped = jnp.sum(hit_c, axis=1) > M   # (B,)
             key_c = jnp.where(hit_c, near_c, jnp.inf)
             neg_c, cidx = jax.lax.top_k(-key_c, M)     # (B, M)
             got_c = jnp.isfinite(neg_c)
@@ -203,6 +206,15 @@ def get_samples_fast(
         valid = got_s & (s_idx > 0)                # drop the ray's first
         first_oct = jnp.where(got[:, 0], near_h[:, 0], 1e9)
 
+        # leaf hits BEFORE the max_hits top-k (feeds frac_truncated_rays).
+        # In the hierarchical path sum(hit) only sees the M*F candidate
+        # leaves; if cut nodes were dropped, force the count past H so the
+        # ray still registers as truncated.
+        num_hit = jnp.sum(hit, axis=1).astype(jnp.int32)
+        if M > 0:
+            num_hit = jnp.where(cut_dropped,
+                                jnp.maximum(num_hit, H + 1), num_hit)
+
         z3 = jnp.zeros_like(world)
         return (
             jnp.where(valid[..., None], world, z3),
@@ -213,7 +225,7 @@ def get_samples_fast(
             jnp.where(valid, block_s, -1),
             valid,
             first_oct,
-            jnp.sum(hit, axis=1).astype(jnp.int32),  # leaf hits before top-k
+            num_hit,
         )
 
     o_c = rays_o.reshape(R // B, B, 3)

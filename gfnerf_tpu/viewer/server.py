@@ -264,9 +264,14 @@ class ViewerServer:
     def __init__(self, pipeline, port: int = 7007,
                  default_radius: float = 4.0, fov_deg: float = 60.0,
                  save_dir: "Path | None" = None,
-                 control: "TrainControl | None" = None):
+                 control: "TrainControl | None" = None,
+                 host: str = "127.0.0.1"):
+        # Default to loopback: /control can halt training and /camera_path
+        # writes files, so exposing all interfaces must be an explicit
+        # opt-in (``--host 0.0.0.0``).
         self.pipeline = pipeline
         self.port = port
+        self.host = host
         self.default_radius = default_radius
         self.fov_deg = fov_deg
         self.save_dir = Path(save_dir) if save_dir else None
@@ -373,6 +378,6 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(str(e).encode())
 
-        server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
-        print(f"[viewer] serving on http://localhost:{self.port}")
+        server = ThreadingHTTPServer((self.host, self.port), Handler)
+        print(f"[viewer] serving on http://{self.host}:{self.port}")
         server.serve_forever()

@@ -20,6 +20,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--port", type=int, default=7007)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address; pass 0.0.0.0 to expose the "
+                             "viewer (and its training controls) beyond "
+                             "this host")
     parser.add_argument("--dataparser", default=None)
     args = parser.parse_args(argv)
 
@@ -34,7 +38,7 @@ def main(argv=None):
     pos = outputs.cameras.camera_to_worlds[:, :, 3]
     radius = float(np.linalg.norm(pos, axis=1).mean())
 
-    ViewerServer(pipeline, port=args.port,
+    ViewerServer(pipeline, port=args.port, host=args.host,
                  default_radius=radius,
                  save_dir=args.load_config.parent).serve_forever()
 
