@@ -215,26 +215,60 @@ def packed_hash_encode_raw(
         sx, lx, fx = _decompose_dim(px0 * scales[l] + bx, pack)
         sy, ly, fy = _decompose_dim(py0 * scales[l] + by, pack)
         sz, lz, fz = _decompose_dim(pz0 * scales[l] + bz, pack)
-        wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
-                               _dim_w(lz, fz, e))
         h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
-        rows = flat[h + l * n_rows][:, : lattice * n_channels]
-        rows = rows.reshape(-1, lattice, n_channels)
-        outs.append(jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16), rows,
-                               preferred_element_type=jnp.float32))
+        rows = flat[h + l * n_rows]                  # (P, row_width) bf16
+        if e == 2:
+            # pack=1: local == 0 everywhere and the 8 lattice entries ARE
+            # the 8 trilinear corners (lattice order o = i*4 + j*2 + k),
+            # so the interpolation is a straight 7-lerp chain over
+            # lane-contiguous slices.  The general path below builds
+            # (P, e), (P, e^3) and (P, e^3, C) intermediates whose narrow
+            # minor dims pad to 128 lanes (16-64x memory expansion when
+            # materialized) and a per-point einsum far too small for the
+            # MXU; the lerp chain touches only (P, C) lane slices and
+            # fuses into the gather consumer.
+            C = n_channels
+
+            def crn(i, j, k):
+                o = ((i * 2 + j) * 2 + k) * C
+                return rows[:, o:o + C].astype(jnp.float32)
+
+            fzc = fz[:, None]
+            z00 = crn(0, 0, 0) + fzc * (crn(0, 0, 1) - crn(0, 0, 0))
+            z01 = crn(0, 1, 0) + fzc * (crn(0, 1, 1) - crn(0, 1, 0))
+            z10 = crn(1, 0, 0) + fzc * (crn(1, 0, 1) - crn(1, 0, 0))
+            z11 = crn(1, 1, 0) + fzc * (crn(1, 1, 1) - crn(1, 1, 0))
+            fyc = fy[:, None]
+            y0 = z00 + fyc * (z01 - z00)
+            y1 = z10 + fyc * (z11 - z10)
+            outs.append(y0 + fx[:, None] * (y1 - y0))
+        else:
+            wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
+                                   _dim_w(lz, fz, e))
+            rows = rows[:, : lattice * n_channels].reshape(
+                -1, lattice, n_channels)
+            outs.append(jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16),
+                                   rows,
+                                   preferred_element_type=jnp.float32))
     return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
 
 
-def chunked_prefix(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+def chunked_prefix(x: jnp.ndarray, chunk: int = 256,
+                   _exact: bool = False) -> jnp.ndarray:
     """Inclusive prefix sum along axis 0 of (N, W), f32 accumulation.
 
     XLA's native cumsum on TPU runs at ~2.9 ns/element (sequential sublane
     shifts); this does the intra-block prefix as a lower-triangular matmul on
     the MXU.  The block carries recurse into chunked_prefix themselves when
     there are many blocks (at N ~ 1.3 M a (N/chunk, W) native cumsum would
-    cost more than the matmuls).  The matmul quantizes its input to bf16
-    (accumulating f32) — callers can pass x in bf16 outright to halve the
-    payload's HBM traffic at identical results.
+    cost more than the matmuls).  The payload matmul quantizes its input to
+    bf16 (accumulating f32) — callers can pass x in bf16 outright to halve
+    the payload's HBM traffic at identical results.  The recursive CARRY
+    level runs its matmul in full f32 (``_exact``): the block totals are f32
+    partial sums, and re-quantizing them to bf16 would accumulate ~2^-9
+    relative error in segment sums spanning block boundaries.  The carry
+    level is (N/chunk, W) — tiny next to the payload — so the f32 matmul
+    costs nothing.
     """
     n, w = x.shape
     rem = (-n) % chunk
@@ -242,16 +276,17 @@ def chunked_prefix(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
         x = jnp.pad(x, ((0, rem), (0, 0)))
     nb = (n + rem) // chunk
     xb = x.reshape(nb, chunk, w)
-    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.bfloat16))
+    mm_dtype = jnp.float32 if _exact else jnp.bfloat16
+    tri = jnp.tril(jnp.ones((chunk, chunk), mm_dtype))
     intra = jax.lax.dot_general(
-        tri, xb.astype(jnp.bfloat16),
+        tri, xb.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                            # (chunk, nb, w)
     intra = jnp.moveaxis(intra, 0, 1)            # (nb, chunk, w)
     totals = intra[:, -1, :]                     # (nb, w)
     if nb > 256:
-        carry = chunked_prefix(totals, chunk) - totals
+        carry = chunked_prefix(totals, chunk, _exact=True) - totals
     else:
         carry = jnp.cumsum(totals, axis=0) - totals  # exclusive over blocks
     return (intra + carry[:, None, :]).reshape(nb * chunk, w)[:n]
