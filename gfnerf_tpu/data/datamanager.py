@@ -48,6 +48,16 @@ class GFNerfDataManagerConfig:
     camera_res_scale_factor: float = 1.0
     max_init_images: int = 100000   # base_datamanager.py:662
     semantic_sample_weights: Optional[List[float]] = None
+    focal_uniform_fraction: float = 0.0
+    """Fraction of each FOCAL batch drawn uniformly from the FULL (init)
+    dataset instead of the active cluster's error-weighted pixels.
+    QUALITY.md finding 7 fix (c): the focal stage's cluster-only supervision
+    leaves residual rows that are hash-shared between surface cells and
+    empty-space cells along other rays without corrective gradient (the
+    fog-overfit mechanism); mixing full-scene rays restores the init stage's
+    self-regularization while keeping most capacity on the active cluster.
+    The mixed rays sit at the END of the batch (``n_split_rays`` marks the
+    boundary) and are excluded from the error-map writeback."""
 
 
 class GFNerfDataManager:
@@ -192,8 +202,9 @@ class GFNerfDataManager:
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
         """Fixed-shape host ray batch (base_datamanager.py:923-948)."""
-        init_stage = (self.config.steps_perssampler_init > 0
-                      and step < self.config.steps_perssampler_init)
+        cfg = self.config
+        init_stage = (cfg.steps_perssampler_init > 0
+                      and step < cfg.steps_perssampler_init)
         if init_stage or self.split_cache is None:
             cache, sampler = self.init_cache, self.init_pixel_sampler
             outputs = self.init_outputs
@@ -202,6 +213,28 @@ class GFNerfDataManager:
             outputs = self.split_outputs
         cache.step()
         batch = sampler.sample(cache)
+        n_split = batch["image"].shape[0]
+        if (not init_stage and self.split_cache is not None
+                and cfg.focal_uniform_fraction > 0):
+            # finding-7 fix (c): append full-scene uniform rays so residual
+            # rows colliding with empty-space cells elsewhere keep receiving
+            # corrective gradient (the init stage's self-regularization).
+            n_mix = int(round(cfg.focal_uniform_fraction
+                              * cfg.train_num_rays_per_batch))
+            n_mix = min(max(n_mix, 0), cfg.train_num_rays_per_batch - 1)
+            if n_mix > 0:
+                n_split = cfg.train_num_rays_per_batch - n_mix
+                self.init_cache.step()
+                mix_idx = self.init_pixel_sampler.sample_indices_uniform(
+                    self.init_cache, n_mix)
+                mix = collate_batch(self.init_cache, mix_idx)
+                batch = {
+                    k: np.concatenate([batch[k][:n_split], mix[k]], axis=0)
+                    for k in ("indices", "image", "camera_indices",
+                              "rel_camera_indices", "coords", "semantics")
+                    if k in batch and k in mix
+                }
+        batch["n_split_rays"] = np.int32(n_split)
         batch["step"] = np.int32(step)
         batch["split_idx"] = np.int32(-1 if init_stage else self.split_idx)
         batch["_cache"] = cache          # for error-map writeback

@@ -254,10 +254,15 @@ def field_density(
     stage: int,              # STAGE_INIT | STAGE_BLOCK  (static)
     active_block: jnp.ndarray | int = 0,  # traced scalar, block-stage table index
     active_table: jnp.ndarray | None = None,  # explicit (L, local, C) table
+    with_shared: bool = False,  # static; also return the shared-only density
 ):
     """Density + geometry features.
 
-    Returns (density (...,), geo_feat (..., geo_feat_dim)).
+    Returns (density (...,), geo_feat (..., geo_feat_dim)); with
+    ``with_shared`` (focal stage only) a third value — the density of the
+    FROZEN shared branch alone (no residual), stop-gradiented — used by the
+    empty-space penalty on residual density deltas (QUALITY.md finding 7
+    fix (a)).
 
     ``active_table``: the focal train step passes the active residual table
     as its own differentiated argument (so Adam moments exist only for the
@@ -289,10 +294,19 @@ def field_density(
 
     feats = encode(params.global_feat, statics.global_prim,
                    statics.global_bias)
+    shared_density = None
     if stage == STAGE_BLOCK:
         # Global branch frozen in focal stage (nerfacto_field.py:460-461);
         # stop_gradient additionally prunes its (large) backward scatter.
         feats = jax.lax.stop_gradient(feats)
+        if with_shared:
+            # shared-only density for the residual-delta penalty: one extra
+            # base_net pass (the encode — the expensive part — is reused);
+            # entirely stop-gradiented (the shared branch is frozen anyway).
+            hs = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
+            shared_density = jax.lax.stop_gradient(
+                trunc_exp(hs[..., 0] + cfg.density_bias) * (anc >= 0)
+            ).reshape(lead_shape)
         table = (active_table if active_table is not None
                  else params.block_feats[active_block])
         feats = feats + encode(
@@ -305,7 +319,11 @@ def field_density(
     density_before, geo = h[..., :1], h[..., 1:]
     density = trunc_exp(density_before[..., 0] + cfg.density_bias)  # nerfacto_field.py:499
     density = density * (anc >= 0)
-    return density.reshape(lead_shape), geo.reshape(*lead_shape, cfg.geo_feat_dim)
+    out = (density.reshape(lead_shape),
+           geo.reshape(*lead_shape, cfg.geo_feat_dim))
+    if with_shared:
+        return out + (shared_density,)
+    return out
 
 
 def _head_ray_pre(params: FieldParams, cfg: FieldConfig,

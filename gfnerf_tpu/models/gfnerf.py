@@ -118,6 +118,16 @@ class GFNeRFModelConfig:
     equivalent of the reference's valid-mask indexing
     (nerfacto_field.py:444,454). Matches num_nerf_samples_per_ray=256
     (gfnerf/config.py:122). 0 disables compaction (dense evaluation)."""
+    empty_space_penalty_mult: float = 0.0
+    """> 0 adds a FOCAL-stage penalty on residual density added in empty
+    space: relu(density_focal - density_shared) averaged over samples the
+    frozen shared branch deems empty (alpha_shared < empty_space_tau).
+    QUALITY.md finding 7 fix (a) for the fog-overfit mechanism: residual
+    rows hash-shared between surface and empty cells get no corrective
+    gradient from cluster-only supervision; this penalty supplies it."""
+    empty_space_tau: float = 0.01
+    """Shared-branch alpha below which a sample counts as empty space for
+    the penalty above."""
 
 
 @dataclass
@@ -157,6 +167,8 @@ def model_forward(
     r, s = samples.trans_idx.shape
     n_trans = oct_dev.w2xz.shape[0] if oct_dev is not None else 1
     budget = model_cfg.samples_budget_per_ray
+    with_shared = (stage == STAGE_BLOCK
+                   and model_cfg.empty_space_penalty_mult > 0)
     if budget > 0 and budget < s:
         # Compaction: evaluate the field only on valid samples.  The
         # reference indexes by valid_mask (dynamic shapes); on TPU we gather
@@ -178,9 +190,11 @@ def model_forward(
                 field_cfg, oct_dev, jnp.clip(anc_k, 0, n_trans - 1), world_k)
         else:
             warp_k = samples.warp_pts.reshape(-1, 3)[safe]
-        density_k, geo_k = field_density(
+        dk = field_density(
             params, statics, field_cfg, warp_k, anc_k, stage, active_block,
-            active_table=active_table)
+            active_table=active_table, with_shared=with_shared)
+        density_k, geo_k = dk[0], dk[1]
+        shared_k = dk[2] if with_shared else None
         ray_k = safe // s
         from gfnerf_tpu.fields.field import _head_ray_pre, field_rgb_compact
 
@@ -189,6 +203,9 @@ def model_forward(
         heads_k = field_rgb_compact(params, field_cfg, ray_pre, geo_k, ray_k)
         density = (jnp.zeros((r * s,))
                    .at[idx].set(density_k, mode="drop").reshape(r, s))
+        density_shared = (
+            jnp.zeros((r * s,)).at[idx].set(shared_k, mode="drop")
+            .reshape(r, s) if with_shared else None)
         heads = {
             name: (jnp.zeros((r * s,) + val.shape[1:])
                    .at[idx].set(val, mode="drop")
@@ -209,10 +226,13 @@ def model_forward(
                                      ).reshape(r, s, 3)
         else:
             warp = samples.warp_pts
-        density, geo = field_density(
+        dd = field_density(
             params, statics, field_cfg, warp, samples.trans_idx,
             stage, active_block, active_table=active_table,
+            with_shared=with_shared,
         )
+        density, geo = dd[0], dd[1]
+        density_shared = dd[2] if with_shared else None
         heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
                                   rel_camera_indices, stage)
 
@@ -233,6 +253,9 @@ def model_forward(
         "rgb": rgb, "accumulation": acc, "depth": depth,
         "oct_depth": oct_depth, "weights": weights, "alphas": alphas,
     }
+    if with_shared and density_shared is not None:
+        out["density"] = density
+        out["density_shared"] = density_shared
     if model_cfg.use_semantics and "semantics" in heads:
         from gfnerf_tpu.model_components.renderers import render_weighted
 
@@ -413,6 +436,19 @@ def _train_step_body(
             else:
                 rgb_loss = mse_loss(out["rgb"], target)
             losses = {"rgb_loss": rgb_loss}
+            if "density_shared" in out:
+                # finding-7 fix (a): penalize residual density ADDED where
+                # the frozen shared branch says empty — the fog mode's
+                # signature.  Carving (negative delta) stays free.
+                ds = out["density_shared"]
+                alpha_s = 1.0 - jnp.exp(-ds * samples.dists)
+                empty = ((alpha_s < model_cfg.empty_space_tau)
+                         & samples.valid).astype(ds.dtype)
+                delta = jax.nn.relu(out["density"] - ds)
+                losses["empty_space_loss"] = (
+                    model_cfg.empty_space_penalty_mult
+                    * jnp.sum(delta * empty)
+                    / jnp.maximum(jnp.sum(empty), 1.0))
             if "prop_weights" in out:
                 from gfnerf_tpu.model_components.losses import (
                     distortion_loss, interlevel_loss)

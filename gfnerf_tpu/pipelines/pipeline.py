@@ -359,9 +359,13 @@ class GFNerfPipeline:
             dev_batch, fineness, active_block, key,
         )
 
-        # focal stage: live error-map update (gf_pipeline.py:179-186)
+        # focal stage: live error-map update (gf_pipeline.py:179-186);
+        # mixed full-scene rays (focal_uniform_fraction) sit at the end of
+        # the batch and index a different cache — exclude them.
         if stage == STAGE_BLOCK and cache.error_maps is not None:
-            cache.update_error_map(batch["indices"], np.asarray(err))
+            ns = int(batch.get("n_split_rays", len(batch["indices"])))
+            cache.update_error_map(batch["indices"][:ns],
+                                   np.asarray(err)[:ns])
 
         # init stage: milestone subdivision / compaction on host
         if stage == STAGE_INIT:

@@ -134,6 +134,19 @@ def main():
     ap.add_argument("--uniform-sampling", action="store_true",
                     help="disable error-map-weighted focal sampling "
                          "(ablation, finding 4)")
+    ap.add_argument("--mix-fraction", type=float, default=None,
+                    help="finding-7 fix (c): fraction of each focal batch "
+                         "drawn uniformly from the FULL scene (keeps "
+                         "corrective gradient flowing to hash-colliding "
+                         "residual rows)")
+    ap.add_argument("--empty-penalty", type=float, default=None,
+                    help="finding-7 fix (a): multiplier on the focal "
+                         "empty-space penalty relu(density - "
+                         "density_shared) where the shared branch says "
+                         "empty")
+    ap.add_argument("--empty-tau", type=float, default=None,
+                    help="shared-branch alpha threshold for 'empty' "
+                         "(default 0.01)")
     ap.add_argument("--init-ckpt", type=Path, default=None,
                     help="checkpoint dir saved at the init->focal "
                          "transition: written there after init if absent, "
@@ -214,6 +227,12 @@ def main():
         p.optimizers.block_lr_init = args.block_lr
     if args.uniform_sampling:
         p.use_error_sampling = False
+    if args.mix_fraction is not None:
+        p.datamanager.focal_uniform_fraction = args.mix_fraction
+    if args.empty_penalty is not None:
+        p.model.empty_space_penalty_mult = args.empty_penalty
+    if args.empty_tau is not None:
+        p.model.empty_space_tau = args.empty_tau
     p.sampler.sub_div_milestones = (init_steps // 8, init_steps // 4,
                                     init_steps // 2)
     p.sampler.ray_march_fineness_decay_end_iter = init_steps
