@@ -160,15 +160,126 @@ def _level_scales(n_levels: int) -> np.ndarray:
     )
 
 
-# The 8 cube-corner offsets in (x, y, z), matching the pos_abc order of
-# _cuda.cu:48-55 (corner k has bits [z=k&1, y=(k>>1)&1, x=(k>>2)&1]).
-_CORNERS = np.array(
-    [
-        [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-        [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1],
-    ],
-    dtype=np.uint32,
-)
+def _anchor_table(prim_pool, bias_pool):
+    """(V, L*8) combined anchor table: each level's 3 primes (bitcast to
+    f32) + 3 biases + 2 pad lanes.  ONE (P, L*8) gather then serves every
+    level of the encode — gathers are row-count bound on TPU, so folding
+    the per-level prim and bias gathers (2L P-row gathers) into a single
+    P-row gather removes them from the wall entirely."""
+    n_levels, n_volumes, _ = prim_pool.shape
+    pf = jax.lax.bitcast_convert_type(prim_pool, jnp.float32)  # (L, V, 3)
+    row = jnp.concatenate(
+        [pf, bias_pool, jnp.zeros((n_levels, n_volumes, 2), jnp.float32)],
+        axis=-1)                                               # (L, V, 8)
+    return jnp.moveaxis(row, 0, 1).reshape(n_volumes, n_levels * 8)
+
+
+def _anchor_slices(ar, base):
+    """Per-level flat components from the combined anchor gather.
+
+    ar: (P, L*8) gathered rows; returns (primes (ux,uy,uz) u32,
+    biases (bx,by,bz) f32) — every slice lane-contiguous and (P,)."""
+    ux = jax.lax.bitcast_convert_type(ar[:, base + 0], jnp.uint32)
+    uy = jax.lax.bitcast_convert_type(ar[:, base + 1], jnp.uint32)
+    uz = jax.lax.bitcast_convert_type(ar[:, base + 2], jnp.uint32)
+    return (ux, uy, uz), (ar[:, base + 3], ar[:, base + 4], ar[:, base + 5])
+
+
+def _hash_encode_fwd(feat_pool, prim_pool, bias_pool, points, anchors,
+                     packed_table: bool):
+    """Anchored forward, struct-of-arrays. Returns (P, n_levels*n_channels).
+
+    Round-4 layout rework (PERF_NOTES.md "narrow-minor-dim arrays are
+    poison", applied here after proving out on the packed path):
+    - ONE combined (P, L*8) anchor gather replaces 2L separate P-row
+      prim/bias gathers;
+    - all per-point intermediates are separate (P,) arrays (struct of
+      arrays) — no (P, 3) temps (which tile T(8, 128), a 42.7x padding);
+    - the table is gathered through a FLAT view with per-level index
+      offsets — per-level slices of a big parent gather at the parent's
+      size (the >96 MB source-size cliff);
+    - ``packed_table``: table values become bf16 with adjacent channels
+      bitcast-packed into one f32 lane, so a C=2 corner lookup is a scalar
+      (P,)-row gather with no lane padding at all and the gather source
+      halves (dodging the size cliff at the 2^21 parity shape).  The
+      reference stores its tables in fp16 outright (fp16 feat pool + fp16
+      atomicAdd backward, Hash3DAnchored_cuda.cu:141-155), so bf16 is
+      parity-faithful.  bitcast has no gradient — this mode is only used
+      under the custom-VJP wrapper (:func:`hash_encode_sorted`); the
+      autodiff-able f32 mode is the golden baseline.
+    """
+    n_levels, local_size, n_channels = feat_pool.shape
+    n_volumes = prim_pool.shape[1]
+    assert local_size & (local_size - 1) == 0, "local_size must be a power of two"
+    mask_mod = jnp.uint32(local_size - 1)
+    n_pairs = n_channels // 2
+    if packed_table:
+        assert n_channels % 2 == 0, "channel-pair packing needs even C"
+
+    valid = (anchors >= 0).astype(jnp.float32)
+    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)  # (P,)
+
+    scales = _level_scales(n_levels)                 # np (L,)
+    ar = _anchor_table(prim_pool, bias_pool)[vol]    # (P, L*8), one gather
+    if packed_table:
+        # flat channel-pair-packed table: (L*local, n_pairs) f32 (each lane
+        # = 2 bf16 channels); for C=2 a (L*local,) scalar column
+        flat = jax.lax.bitcast_convert_type(
+            feat_pool.astype(jnp.bfloat16).reshape(
+                n_levels * local_size, n_pairs, 2),
+            jnp.float32)                             # (L*local, n_pairs)
+        if n_pairs == 1:
+            flat = flat[:, 0]                        # (L*local,)
+    else:
+        flat = feat_pool.reshape(n_levels * local_size, n_channels)
+
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    one = jnp.uint32(1)
+    cols = []  # L*C separate (P,) columns, stacked once at the end
+    # Unrolled python loop over levels: peak memory stays O(P) (the naive
+    # (L, P, 8, 3) form OOMs at 8M+ points) and, unlike a lax.scan, lets XLA
+    # overlap the gathers of different levels (~13% faster fwd on v5e).
+    for l in range(n_levels):
+        (ux, uy, uz), (bx, by, bz) = _anchor_slices(ar, l * 8)
+        ptx = px * scales[l] + bx
+        pty = py * scales[l] + by
+        ptz = pz * scales[l] + bz
+        x0f, y0f, z0f = jnp.floor(ptx), jnp.floor(pty), jnp.floor(ptz)
+        fx, fy, fz = ptx - x0f, pty - y0f, ptz - z0f
+        x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
+        y0 = y0f.astype(jnp.int32).astype(jnp.uint32)
+        z0 = z0f.astype(jnp.int32).astype(jnp.uint32)
+        hx0, hx1 = x0 * ux, (x0 + one) * ux
+        hy0, hy1 = y0 * uy, (y0 + one) * uy
+        hz0, hz1 = z0 * uz, (z0 + one) * uz
+
+        acc = [jnp.zeros_like(px) for _ in range(n_channels)]
+        for hx, wx in ((hx0, 1 - fx), (hx1, fx)):
+            for hy, wy in ((hy0, 1 - fy), (hy1, fy)):
+                for hz, wz in ((hz0, 1 - fz), (hz1, fz)):
+                    idx = (((hx ^ hy ^ hz) & mask_mod).astype(jnp.int32)
+                           + l * local_size)
+                    w = wx * wy * wz
+                    rows = flat[idx]
+                    if not packed_table:
+                        for c in range(n_channels):
+                            acc[c] = acc[c] + w * rows[:, c]
+                    elif n_pairs == 1:
+                        pairs = jax.lax.bitcast_convert_type(
+                            rows, jnp.bfloat16)        # (P, 2)
+                        acc[0] = acc[0] + w * pairs[:, 0].astype(jnp.float32)
+                        acc[1] = acc[1] + w * pairs[:, 1].astype(jnp.float32)
+                    else:
+                        pairs = jax.lax.bitcast_convert_type(
+                            rows, jnp.bfloat16)        # (P, n_pairs, 2)
+                        for p2 in range(n_pairs):
+                            acc[2 * p2] = acc[2 * p2] + w * (
+                                pairs[:, p2, 0].astype(jnp.float32))
+                            acc[2 * p2 + 1] = acc[2 * p2 + 1] + w * (
+                                pairs[:, p2, 1].astype(jnp.float32))
+        cols.extend(c * valid for c in acc)
+    # layout (P, L*C) matching out_feat[level*C + k] (_cuda.cu:73)
+    return jnp.stack(cols, axis=-1)
 
 
 def hash_encode_raw(
@@ -179,49 +290,12 @@ def hash_encode_raw(
     anchors: jnp.ndarray,    # (P,) int32 volume index; < 0 -> masked to 0 output
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Forward anchored hash encoding. Returns (P, n_levels*n_channels)."""
-    n_levels, local_size, n_channels = feat_pool.shape
-    n_volumes = prim_pool.shape[1]
-    assert local_size & (local_size - 1) == 0, "local_size must be a power of two"
-    mask_mod = jnp.uint32(local_size - 1)
-
-    valid = anchors >= 0
-    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)  # (P,)
-
-    scales = jnp.asarray(_level_scales(n_levels))  # (L,)
-
-    # Unrolled python loop over levels: peak memory stays O(P) (the naive
-    # (L, P, 8, 3) form OOMs at 8M+ points) and, unlike a lax.scan, lets XLA
-    # overlap the gathers of different levels (~13% faster fwd on v5e).
-    vmask = valid[:, None]
-    outs = []
-    for l in range(n_levels):
-        pt = points * scales[l] + bias_pool[l][vol]   # (P, 3)
-        pos_f = jnp.floor(pt)
-        frac = pt - pos_f                             # (P, 3)
-        pos = pos_f.astype(jnp.int32).astype(jnp.uint32)
-        prim = prim_pool[l][vol]                      # (P, 3) uint32
-
-        hx0 = pos[:, 0] * prim[:, 0]
-        hy0 = pos[:, 1] * prim[:, 1]
-        hz0 = pos[:, 2] * prim[:, 2]
-        hx1 = (pos[:, 0] + jnp.uint32(1)) * prim[:, 0]
-        hy1 = (pos[:, 1] + jnp.uint32(1)) * prim[:, 1]
-        hz1 = (pos[:, 2] + jnp.uint32(1)) * prim[:, 2]
-        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-
-        out_l = jnp.zeros((points.shape[0], n_channels), compute_dtype)
-        feat_c = feat_pool[l].astype(compute_dtype)
-        for hx, wx in ((hx0, 1 - fx), (hx1, fx)):
-            for hy, wy in ((hy0, 1 - fy), (hy1, fy)):
-                for hz, wz in ((hz0, 1 - fz), (hz1, fz)):
-                    idx = ((hx ^ hy ^ hz) & mask_mod).astype(jnp.int32)
-                    w = (wx * wy * wz).astype(compute_dtype)
-                    out_l = out_l + feat_c[idx] * w[:, None]
-        outs.append(out_l * vmask)
-    # layout (P, L*C) matching out_feat[level*C + k] (_cuda.cu:73)
-    out = jnp.concatenate(outs, axis=-1)
-    return out.astype(jnp.float32)
+    """Autodiff-able f32 anchored forward (golden baseline; the production
+    path is :func:`hash_encode_sorted`, whose forward uses the bf16
+    pair-packed table)."""
+    del compute_dtype  # always f32: this is the exactness baseline
+    return _hash_encode_fwd(feat_pool, prim_pool, bias_pool, points,
+                            anchors, packed_table=False)
 
 
 def hash_encode(
@@ -252,38 +326,50 @@ def hash_encode(
 # ------------------------------------------------------------------------
 
 
-def _corner_data(feat_shape, prim_l, bias_l, scale_l, points, vol, valid):
-    """Per-level corner indices (P, 8) and trilinear weights (P, 8)."""
-    local_size = feat_shape[0]
+def _corner_data_flat(local_size, prim_l, bias_l, scale_l, points, vol,
+                      valid):
+    """Per-level corner hashes and trilinear weights as FLAT (8P,) arrays.
+
+    Corner-major concatenation of per-corner (P,) columns: the former
+    (P, 8) form tiled T(8, 128) — its 8-lane minor dim padded 16x, a
+    ~0.7 GB materialized temp per level at the parity shape — while (P,)
+    columns and their (8P,) concatenation tile losslessly.  The consumer
+    (sort) is order-insensitive."""
     mask_mod = jnp.uint32(local_size - 1)
-    pt = points * scale_l + bias_l[vol]
-    pos_f = jnp.floor(pt)
-    frac = pt - pos_f
-    pos = pos_f.astype(jnp.int32).astype(jnp.uint32)
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    bias = bias_l[vol]                       # (P, 3) — single narrow gather
     prim = prim_l[vol]
-    hx = jnp.stack([pos[:, 0] * prim[:, 0],
-                    (pos[:, 0] + jnp.uint32(1)) * prim[:, 0]], -1)
-    hy = jnp.stack([pos[:, 1] * prim[:, 1],
-                    (pos[:, 1] + jnp.uint32(1)) * prim[:, 1]], -1)
-    hz = jnp.stack([pos[:, 2] * prim[:, 2],
-                    (pos[:, 2] + jnp.uint32(1)) * prim[:, 2]], -1)
-    corners = _CORNERS  # (8, 3) bit pattern (x, y, z)
-    idx = ((hx[:, corners[:, 0]] ^ hy[:, corners[:, 1]]
-            ^ hz[:, corners[:, 2]]) & mask_mod).astype(jnp.int32)  # (P, 8)
-    f = frac[:, None, :]
-    c = corners[None, :, :].astype(points.dtype)
-    w = jnp.prod(f * c + (1.0 - f) * (1.0 - c), axis=-1)  # (P, 8)
-    w = w * valid[:, None]
-    return idx, w
+    ptx = px * scale_l + bias[:, 0]
+    pty = py * scale_l + bias[:, 1]
+    ptz = pz * scale_l + bias[:, 2]
+    x0f, y0f, z0f = jnp.floor(ptx), jnp.floor(pty), jnp.floor(ptz)
+    fx, fy, fz = ptx - x0f, pty - y0f, ptz - z0f
+    one = jnp.uint32(1)
+    x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
+    y0 = y0f.astype(jnp.int32).astype(jnp.uint32)
+    z0 = z0f.astype(jnp.int32).astype(jnp.uint32)
+    ux, uy, uz = prim[:, 0], prim[:, 1], prim[:, 2]
+    hx0, hx1 = x0 * ux, (x0 + one) * ux
+    hy0, hy1 = y0 * uy, (y0 + one) * uy
+    hz0, hz1 = z0 * uz, (z0 + one) * uz
+    idxs, ws = [], []
+    for hx, wx in ((hx0, 1 - fx), (hx1, fx)):
+        for hy, wy in ((hy0, 1 - fy), (hy1, fy)):
+            for hz, wz in ((hz0, 1 - fz), (hz1, fz)):
+                idxs.append(((hx ^ hy ^ hz) & mask_mod).astype(jnp.int32))
+                ws.append(wx * wy * wz * valid)
+    return jnp.concatenate(idxs), jnp.concatenate(ws)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def hash_encode_sorted(feat_pool, prim_pool, bias_pool, points, anchors):
-    return hash_encode_raw(feat_pool, prim_pool, bias_pool, points, anchors)
+    return _hash_encode_fwd(feat_pool, prim_pool, bias_pool, points,
+                            anchors, packed_table=feat_pool.shape[2] % 2 == 0)
 
 
 def _hes_fwd(feat_pool, prim_pool, bias_pool, points, anchors):
-    out = hash_encode_raw(feat_pool, prim_pool, bias_pool, points, anchors)
+    out = _hash_encode_fwd(feat_pool, prim_pool, bias_pool, points, anchors,
+                           packed_table=feat_pool.shape[2] % 2 == 0)
     return out, (feat_pool.shape, prim_pool, bias_pool, points, anchors)
 
 
@@ -301,17 +387,18 @@ def _hes_bwd(res, g):
 
     def level_fn(carry, xs):
         prim_l, bias_l, scale_l, g_l = xs
-        idx, w = _corner_data((local_size,), prim_l, bias_l, scale_l,
-                              points, vol, valid)
+        idx, w = _corner_data_flat(local_size, prim_l, bias_l, scale_l,
+                                   points, vol, valid)
         # weighted grads per channel, packed as bf16 pairs into f32 payloads
+        # (corner-major flat order, matching _corner_data_flat)
         payloads = []
         for p2 in range(n_pairs):
-            wv0 = (w * g_l[:, 2 * p2: 2 * p2 + 1]).reshape(-1)
-            wv1 = (w * g_l[:, 2 * p2 + 1: 2 * p2 + 2]).reshape(-1)
+            wv0 = w * jnp.tile(g_l[:, 2 * p2], 8)
+            wv1 = w * jnp.tile(g_l[:, 2 * p2 + 1], 8)
             payloads.append(jax.lax.bitcast_convert_type(
                 jnp.stack([wv0.astype(jnp.bfloat16),
                            wv1.astype(jnp.bfloat16)], -1), jnp.float32))
-        sorted_ops = jax.lax.sort((idx.reshape(-1), *payloads),
+        sorted_ops = jax.lax.sort((idx, *payloads),
                                   dimension=0, num_keys=1)
         skeys = sorted_ops[0]
         sv = jnp.concatenate(

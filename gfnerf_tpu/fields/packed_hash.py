@@ -48,7 +48,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gfnerf_tpu.fields.hash_encoding import _level_scales, _random_primes
+from gfnerf_tpu.fields.hash_encoding import (
+    _anchor_slices,
+    _anchor_table,
+    _level_scales,
+    _random_primes,
+)
 
 
 def pack_for_channels(n_channels: int, row_width: int = 128) -> int:
@@ -155,29 +160,43 @@ def _hash_flat(sx, sy, sz, ux, uy, uz, n_rows):
     return (h & jnp.uint32(n_rows - 1)).astype(jnp.int32)
 
 
-def _anchor_table(prim_pool, bias_pool):
-    """(V, L*8) combined anchor table: each level's 3 primes (bitcast to
-    f32) + 3 biases + 2 pad lanes.  ONE (P, L*8) gather then serves every
-    level of the encode — gathers are row-count bound on TPU, so folding
-    the per-level prim and bias gathers (2L P-row gathers) into a single
-    P-row gather removes them from the wall entirely."""
-    n_levels, n_volumes, _ = prim_pool.shape
-    pf = jax.lax.bitcast_convert_type(prim_pool, jnp.float32)  # (L, V, 3)
-    row = jnp.concatenate(
-        [pf, bias_pool, jnp.zeros((n_levels, n_volumes, 2), jnp.float32)],
-        axis=-1)                                               # (L, V, 8)
-    return jnp.moveaxis(row, 0, 1).reshape(n_volumes, n_levels * 8)
+def dense_level_extents(n_levels, pack, n_volumes, n_rows, dense_levels):
+    """Static per-level dense-grid extents for collision-free addressing.
+
+    QUALITY.md finding 7 fix (b): the focal fog mode is driven by residual
+    rows hash-shared between surface and empty-space cells; a level whose
+    per-volume supercell grid fits the table — ``V * m^3 <= n_rows`` with
+    ``m`` the grid extent — can instead be addressed LINEARLY
+    (``vol*m^3 + (sx%m)*m^2 + (sy%m)*m + sz%m``), which is injective within
+    every volume (normalized coords span [0, scale], so the span is < m and
+    the mod never wraps two live cells together).  Returns (m (L,), use
+    (L,) bool): levels beyond ``dense_levels`` or too big to fit keep the
+    XOR hash.
+    """
+    scales = _level_scales(n_levels)
+    m = np.zeros((n_levels,), np.int32)
+    use = np.zeros((n_levels,), bool)
+    for l in range(min(dense_levels, n_levels)):
+        ml = int(np.ceil(scales[l] / pack)) + 2
+        if n_volumes * ml ** 3 <= n_rows:
+            m[l] = ml
+            use[l] = True
+    return m, use
 
 
-def _anchor_slices(ar, base):
-    """Per-level flat components from the combined anchor gather.
-
-    ar: (P, L*8) gathered rows; returns (primes (ux,uy,uz) u32,
-    biases (bx,by,bz) f32) — every slice lane-contiguous and (P,)."""
-    ux = jax.lax.bitcast_convert_type(ar[:, base + 0], jnp.uint32)
-    uy = jax.lax.bitcast_convert_type(ar[:, base + 1], jnp.uint32)
-    uz = jax.lax.bitcast_convert_type(ar[:, base + 2], jnp.uint32)
-    return (ux, uy, uz), (ar[:, base + 3], ar[:, base + 4], ar[:, base + 5])
+def _dense_or_hash_idx(sx, sy, sz, ux, uy, uz, n_rows, vol, m, use_dense):
+    """Row index per point: collision-free linear addressing when
+    ``use_dense`` (m > 0), else the XOR hash.  Both are cheap (P,) integer
+    arithmetic; computing both and selecting keeps the level loop/scan body
+    uniform."""
+    h_hash = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
+    ms = jnp.maximum(m, 1)
+    h_dense = (vol * ms * ms * ms
+               + jnp.remainder(sx, ms) * ms * ms
+               + jnp.remainder(sy, ms) * ms
+               + jnp.remainder(sz, ms))
+    h_dense = jnp.minimum(h_dense, n_rows - 1)   # safety clamp
+    return jnp.where(use_dense, h_dense, h_hash)
 
 
 def packed_hash_encode_raw(
@@ -188,6 +207,7 @@ def packed_hash_encode_raw(
     anchors: jnp.ndarray,     # (P,) int32 volume index; < 0 -> masked output
     n_channels: int,
     pack: int,
+    dense_levels: int = 0,
 ) -> jnp.ndarray:
     """Forward packed encoding. Returns (P, L * n_channels).
 
@@ -197,6 +217,11 @@ def packed_hash_encode_raw(
     to bf16 (the reference stores its tables in fp16 outright,
     Hash3DAnchored setup.py:113) and flattened so per-level slicing never
     re-materializes views of the large parent.
+
+    ``dense_levels``: the first k levels use collision-free linear
+    addressing when their per-volume grid fits the table (see
+    :func:`dense_level_extents`; QUALITY.md finding 7 fix (b) — residual
+    tables only).
     """
     n_levels, n_rows, row_width = feat_pool.shape
     n_volumes = prim_pool.shape[1]
@@ -205,6 +230,8 @@ def packed_hash_encode_raw(
     valid = (anchors >= 0)[:, None]
     vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
     scales = _level_scales(n_levels)
+    dm, duse = dense_level_extents(n_levels, pack, n_volumes, n_rows,
+                                   dense_levels)
     flat = feat_pool.astype(jnp.bfloat16).reshape(n_levels * n_rows,
                                                   row_width)
     ar = _anchor_table(prim_pool, bias_pool)[vol]   # (P, L*8), one gather
@@ -215,41 +242,114 @@ def packed_hash_encode_raw(
         sx, lx, fx = _decompose_dim(px0 * scales[l] + bx, pack)
         sy, ly, fy = _decompose_dim(py0 * scales[l] + by, pack)
         sz, lz, fz = _decompose_dim(pz0 * scales[l] + bz, pack)
-        h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
-        rows = flat[h + l * n_rows]                  # (P, row_width) bf16
-        if e == 2:
-            # pack=1: local == 0 everywhere and the 8 lattice entries ARE
-            # the 8 trilinear corners (lattice order o = i*4 + j*2 + k),
-            # so the interpolation is a straight 7-lerp chain over
-            # lane-contiguous slices.  The general path below builds
-            # (P, e), (P, e^3) and (P, e^3, C) intermediates whose narrow
-            # minor dims pad to 128 lanes (16-64x memory expansion when
-            # materialized) and a per-point einsum far too small for the
-            # MXU; the lerp chain touches only (P, C) lane slices and
-            # fuses into the gather consumer.
-            C = n_channels
-
-            def crn(i, j, k):
-                o = ((i * 2 + j) * 2 + k) * C
-                return rows[:, o:o + C].astype(jnp.float32)
-
-            fzc = fz[:, None]
-            z00 = crn(0, 0, 0) + fzc * (crn(0, 0, 1) - crn(0, 0, 0))
-            z01 = crn(0, 1, 0) + fzc * (crn(0, 1, 1) - crn(0, 1, 0))
-            z10 = crn(1, 0, 0) + fzc * (crn(1, 0, 1) - crn(1, 0, 0))
-            z11 = crn(1, 1, 0) + fzc * (crn(1, 1, 1) - crn(1, 1, 0))
-            fyc = fy[:, None]
-            y0 = z00 + fyc * (z01 - z00)
-            y1 = z10 + fyc * (z11 - z10)
-            outs.append(y0 + fx[:, None] * (y1 - y0))
+        if duse[l]:
+            ml = int(dm[l])
+            h = jnp.minimum(
+                vol * ml ** 3
+                + jnp.remainder(sx, ml) * ml * ml
+                + jnp.remainder(sy, ml) * ml
+                + jnp.remainder(sz, ml), n_rows - 1)
         else:
-            wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
-                                   _dim_w(lz, fz, e))
-            rows = rows[:, : lattice * n_channels].reshape(
-                -1, lattice, n_channels)
-            outs.append(jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16),
-                                   rows,
-                                   preferred_element_type=jnp.float32))
+            h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
+        rows = flat[h + l * n_rows]                  # (P, row_width) bf16
+        outs.append(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
+                                  n_channels))
+    return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
+
+
+def _interp_level(rows, fx, fy, fz, lx, ly, lz, e, n_channels):
+    """Per-level lattice interpolation from gathered (P, row_width) rows.
+
+    e == 2 (pack=1, the live C=4 config): local == 0 everywhere and the 8
+    lattice entries ARE the 8 trilinear corners (lattice order
+    o = i*4 + j*2 + k), so the interpolation is a straight 7-lerp chain
+    over lane-contiguous slices.  The general path builds (P, e), (P, e^3)
+    and (P, e^3, C) intermediates whose narrow minor dims pad to 128 lanes
+    (16-64x memory expansion when materialized) and a per-point einsum far
+    too small for the MXU; the lerp chain touches only (P, C) lane slices
+    and fuses into the gather consumer.
+    """
+    if e == 2:
+        C = n_channels
+
+        def crn(i, j, k):
+            o = ((i * 2 + j) * 2 + k) * C
+            return rows[:, o:o + C].astype(jnp.float32)
+
+        fzc = fz[:, None]
+        z00 = crn(0, 0, 0) + fzc * (crn(0, 0, 1) - crn(0, 0, 0))
+        z01 = crn(0, 1, 0) + fzc * (crn(0, 1, 1) - crn(0, 1, 0))
+        z10 = crn(1, 0, 0) + fzc * (crn(1, 0, 1) - crn(1, 0, 0))
+        z11 = crn(1, 1, 0) + fzc * (crn(1, 1, 1) - crn(1, 1, 0))
+        fyc = fy[:, None]
+        y0 = z00 + fyc * (z01 - z00)
+        y1 = z10 + fyc * (z11 - z10)
+        return y0 + fx[:, None] * (y1 - y0)
+    lattice = e ** 3
+    wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
+                           _dim_w(lz, fz, e))
+    rows = rows[:, : lattice * n_channels].reshape(-1, lattice, n_channels)
+    return jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16), rows,
+                      preferred_element_type=jnp.float32)
+
+
+def packed_hash_encode_routed(
+    block_feats: jnp.ndarray,   # (B, L, n_rows, row_width) f32
+    block_prims: jnp.ndarray,   # (B, L, V, 3) uint32
+    block_biases: jnp.ndarray,  # (B, L, V, 3) f32
+    points: jnp.ndarray,        # (P, 3) f32
+    anchors: jnp.ndarray,       # (P,) int32 volume; < 0 -> masked output
+    blocks: jnp.ndarray,        # (P,) int32 per-point BLOCK; < 0 -> masked
+    n_channels: int,
+    pack: int,
+    dense_levels: int = 0,
+) -> jnp.ndarray:
+    """Per-point block-ROUTED residual encoding (eval path, forward only).
+
+    Each point reads its own block's residual table: the stacked tables
+    flatten to one (B*L*rows, width) gather source and the block id simply
+    offsets the row index, so routing costs the same one gather per
+    (point, level) as the single-block path.  This is what lets a mixed
+    eval batch (rays from every cluster) render in ONE chunk instead of
+    per-(split, nearest) groups padded to the chunk size (VERDICT r3
+    weak 6), and it is the natural TPU form of the reference's per-block
+    eval routing (nerfacto_field.py:526-533 picks the block table by the
+    camera's cluster).
+    """
+    n_blocks, n_levels, n_rows, row_width = block_feats.shape
+    n_volumes = block_prims.shape[2]
+    e = pack + 1
+    valid = ((anchors >= 0) & (blocks >= 0))[:, None]
+    vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
+    blk = jnp.clip(blocks, 0, n_blocks - 1).astype(jnp.int32)
+    scales = _level_scales(n_levels)
+    dm, duse = dense_level_extents(n_levels, pack, n_volumes, n_rows,
+                                   dense_levels)
+    flat = block_feats.astype(jnp.bfloat16).reshape(
+        n_blocks * n_levels * n_rows, row_width)
+    ar_all = jax.vmap(_anchor_table)(block_prims, block_biases)  # (B, V, L8)
+    ar = ar_all.reshape(n_blocks * n_volumes, n_levels * 8)[
+        blk * n_volumes + vol]                       # (P, L*8), one gather
+    row_base = blk * (n_levels * n_rows)             # (P,)
+    px0, py0, pz0 = points[:, 0], points[:, 1], points[:, 2]
+    outs = []
+    for l in range(n_levels):
+        (ux, uy, uz), (bx, by, bz) = _anchor_slices(ar, l * 8)
+        sx, lx, fx = _decompose_dim(px0 * scales[l] + bx, pack)
+        sy, ly, fy = _decompose_dim(py0 * scales[l] + by, pack)
+        sz, lz, fz = _decompose_dim(pz0 * scales[l] + bz, pack)
+        if duse[l]:
+            ml = int(dm[l])
+            h = jnp.minimum(
+                vol * ml ** 3
+                + jnp.remainder(sx, ml) * ml * ml
+                + jnp.remainder(sy, ml) * ml
+                + jnp.remainder(sz, ml), n_rows - 1)
+        else:
+            h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
+        rows = flat[row_base + l * n_rows + h]       # (P, row_width) bf16
+        outs.append(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
+                                  n_channels))
     return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
 
 
@@ -333,21 +433,21 @@ def _sorted_segment_rows(keys, payload, n_rows, payload_fn=None):
     return _runend_diff(skeys, prefix, n_rows)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def packed_hash_encode(feat_pool, prim_pool, bias_pool, points, anchors,
-                       n_channels, pack):
+                       n_channels, pack, dense_levels=0):
     return packed_hash_encode_raw(feat_pool, prim_pool, bias_pool, points,
-                                  anchors, n_channels, pack)
+                                  anchors, n_channels, pack, dense_levels)
 
 
 def _phe_fwd(feat_pool, prim_pool, bias_pool, points, anchors, n_channels,
-             pack):
+             pack, dense_levels):
     out = packed_hash_encode_raw(feat_pool, prim_pool, bias_pool, points,
-                                 anchors, n_channels, pack)
+                                 anchors, n_channels, pack, dense_levels)
     return out, (feat_pool.shape, prim_pool, bias_pool, points, anchors)
 
 
-def _phe_bwd(n_channels, pack, res, g):
+def _phe_bwd(n_channels, pack, dense_levels, res, g):
     feat_shape, prim_pool, bias_pool, points, anchors = res
     n_levels, n_rows, row_width = feat_shape
     n_volumes = prim_pool.shape[1]
@@ -356,6 +456,8 @@ def _phe_bwd(n_channels, pack, res, g):
     valid = (anchors >= 0).astype(points.dtype)
     vol = jnp.clip(anchors, 0, n_volumes - 1).astype(jnp.int32)
     scales = jnp.asarray(_level_scales(n_levels))
+    dm, duse = dense_level_extents(n_levels, pack, n_volumes, n_rows,
+                                   dense_levels)
     g = g.reshape(p, n_levels, n_channels)
 
     ar = _anchor_table(prim_pool, bias_pool)[vol]   # (P, L*8), one gather
@@ -363,13 +465,14 @@ def _phe_bwd(n_channels, pack, res, g):
     e = pack + 1
 
     def level_fn(carry, xs):
-        lidx, scale_l, g_l = xs
+        lidx, scale_l, g_l, m_l, use_l = xs
         arl = jax.lax.dynamic_slice_in_dim(ar, lidx * 8, 8, axis=1)
         (ux, uy, uz), (bx, by, bz) = _anchor_slices(arl, 0)
         sx, lx, fx = _decompose_dim(px0 * scale_l + bx, pack)
         sy, ly, fy = _decompose_dim(py0 * scale_l + by, pack)
         sz, lz, fz = _decompose_dim(pz0 * scale_l + bz, pack)
-        h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
+        h = _dense_or_hash_idx(sx, sy, sz, ux, uy, uz, n_rows, vol, m_l,
+                               use_l)
         # narrow per-row inputs; the wide (P, row_width) payload is
         # recomputed AFTER the permutation gather (see _sorted_segment_rows).
         # local + frac merge losslessly into one column per dim
@@ -408,7 +511,7 @@ def _phe_bwd(n_channels, pack, res, g):
     _, grads = jax.lax.scan(
         level_fn, None,
         (jnp.arange(n_levels, dtype=jnp.int32), scales,
-         jnp.moveaxis(g, 1, 0)),
+         jnp.moveaxis(g, 1, 0), jnp.asarray(dm), jnp.asarray(duse)),
     )
     return (grads, None, None, None, None)
 

@@ -61,6 +61,23 @@ def test_hash_encode_matches_numpy_reference():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+def test_production_packed_fwd_matches_raw_to_bf16():
+    """hash_encode_sorted's forward uses the bf16 channel-pair-packed flat
+    table (the reference stores fp16, Hash3DAnchored_cuda.cu:141-155); it
+    must match the f32 baseline to bf16 table precision."""
+    from gfnerf_tpu.fields.hash_encoding import hash_encode_sorted
+
+    params = init_hash_params(seed=0, log2_table_size=10, n_volumes=3)
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.random((64, 3)), jnp.float32)
+    anchors = jnp.asarray(rng.integers(-1, 3, 64), jnp.int32)
+    base = np.asarray(hash_encode(params, pts, anchors))
+    fast = np.asarray(hash_encode_sorted(
+        params.feat_pool, params.prim_pool, params.bias_pool, pts, anchors))
+    # table init range is +-1e-2; bf16 has ~2^-8 relative error
+    np.testing.assert_allclose(fast, base, rtol=2e-2, atol=1e-4)
+
+
 def test_hash_encode_invalid_anchor_is_zero():
     params = init_hash_params(seed=0, log2_table_size=8, n_volumes=2)
     pts = jnp.ones((4, 3)) * 0.5
