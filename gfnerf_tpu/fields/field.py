@@ -97,6 +97,12 @@ class FieldConfig:
     equal 2^21 tables but each block covers ~1/10 of the scene,
     gfnerf/config.py:119-127). None = packed_rows_log2. Row count is read
     from the table's own shape in the encode, so sizes may differ freely."""
+    block_dense_levels: int = 0
+    """First k RESIDUAL levels use collision-free linear addressing where
+    the per-volume grid fits the table (packed layout only;
+    packed_hash.dense_level_extents). QUALITY.md finding 7 fix (b): kills
+    the surface/empty-space hash collisions that drive the focal fog
+    overfit, at the cost of hash capacity flexibility on those levels."""
     use_proposal: bool = False
     """Proposal-guided resampling probe (models/gfnerf.py): a tiny packed
     hash table + 1-layer MLP whose density concentrates the main field's
@@ -282,14 +288,15 @@ def field_density(
 
         pack = pack_for_channels(cfg.features_per_level, cfg.packed_row_width)
 
-        def encode(table, prim, bias):
+        def encode(table, prim, bias, dense_levels=0):
             return packed_hash_encode(table, prim, bias, pts, anc,
-                                      cfg.features_per_level, pack)
+                                      cfg.features_per_level, pack,
+                                      dense_levels)
     else:
-        # hash_encode_sorted == hash_encode_raw forward; its custom VJP
+        # hash_encode_sorted: bf16 pair-packed forward + custom VJP that
         # builds the table gradient by sort + prefix-diff instead of XLA's
         # serialized scatter-add (see hash_encoding.py + PERF_NOTES.md).
-        def encode(table, prim, bias):
+        def encode(table, prim, bias, dense_levels=0):
             return hash_encode_sorted(table, prim, bias, pts, anc)
 
     feats = encode(params.global_feat, statics.global_prim,
@@ -313,6 +320,7 @@ def field_density(
             table,
             statics.block_prims[active_block],
             statics.block_biases[active_block],
+            dense_levels=cfg.block_dense_levels,
         )
 
     h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
@@ -324,6 +332,47 @@ def field_density(
     if with_shared:
         return out + (shared_density,)
     return out
+
+
+def field_density_routed(
+    params: FieldParams,
+    statics: FieldStatics,
+    cfg: FieldConfig,
+    warp_pts: jnp.ndarray,   # (..., 3) warped-space points
+    anchors: jnp.ndarray,    # (...,) int32 trans_idx, -1 invalid
+    blocks: jnp.ndarray,     # (...,) int32 per-point residual block
+):
+    """Focal density with PER-POINT block routing (packed layout, eval).
+
+    shared encode + per-point-block residual (packed_hash_encode_routed):
+    lets one eval chunk mix rays from every cluster — the TPU form of the
+    reference's per-camera block routing (nerfacto_field.py:526-533) —
+    instead of per-(split, nearest) groups padded to the chunk size.
+    Forward-only (no table grads), so the raw encodes suffice.
+    """
+    assert cfg.hash_layout == "packed", "routed eval needs the packed layout"
+    from gfnerf_tpu.fields.packed_hash import (
+        pack_for_channels,
+        packed_hash_encode,
+        packed_hash_encode_routed,
+    )
+
+    lead_shape = anchors.shape
+    pts = ((warp_pts + 1.5) / 3.0).reshape(-1, 3)
+    anc = anchors.reshape(-1)
+    blk = blocks.reshape(-1)
+    pack = pack_for_channels(cfg.features_per_level, cfg.packed_row_width)
+    feats = packed_hash_encode(
+        params.global_feat, statics.global_prim, statics.global_bias,
+        pts, anc, cfg.features_per_level, pack)
+    feats = feats + packed_hash_encode_routed(
+        params.block_feats, statics.block_prims, statics.block_biases,
+        pts, anc, blk, cfg.features_per_level, pack,
+        cfg.block_dense_levels)
+    h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
+    density = trunc_exp(h[..., 0] + cfg.density_bias) * (anc >= 0)
+    return (density.reshape(lead_shape),
+            h[..., 1:].reshape(*lead_shape, cfg.geo_feat_dim))
 
 
 def _head_ray_pre(params: FieldParams, cfg: FieldConfig,

@@ -62,6 +62,9 @@ class GFNerfPipelineConfig:
     field_hash_layout: str = "anchored"   # "anchored" | "packed" (fields/packed_hash.py)
     field_packed_rows_log2: int = 15
     field_block_rows_log2: int | None = None  # residual-table rows when != global
+    field_block_dense_levels: int = 0
+    """First k residual levels use collision-free linear addressing where
+    the grid fits (QUALITY.md finding-7 fix (b); FieldConfig doc)."""
     field_mlp_dtype: str = "float32"      # "bfloat16" = tcnn-fp16-class compute
     field_use_proposal: bool = False      # proposal probe (fields/field.py)
     field_warp_mode: str = "pers"         # "identity" = world-space ablation
@@ -139,6 +142,7 @@ class GFNerfPipeline:
             hash_layout=config.field_hash_layout,
             packed_rows_log2=config.field_packed_rows_log2,
             block_rows_log2=config.field_block_rows_log2,
+            block_dense_levels=config.field_block_dense_levels,
             mlp_dtype=config.field_mlp_dtype,
             use_proposal=config.field_use_proposal,
             warp_mode=config.field_warp_mode,
@@ -438,26 +442,46 @@ class GFNerfPipeline:
         r = rays["origins"].shape[0]
         chunk = self.config.eval_num_rays_per_chunk
         pred = np.zeros((r, 3), np.float32)
-        groups: Dict[tuple, list] = {}
+        split_ray = np.zeros(r, np.int32)
+        nearest_ray = np.zeros(r, np.int32)
         for cam in np.unique(cam_idx_np):
             sel = np.nonzero(cam_idx_np == cam)[0]
-            origin = o[sel[0]]
-            split_idx, nearest = self.sampler.get_nearest_split_dataset(origin)
-            groups.setdefault((split_idx, nearest), []).append(sel)
-        for (split_idx, nearest), sels in groups.items():
+            split_idx, nearest = self.sampler.get_nearest_split_dataset(
+                o[sel[0]])
+            split_ray[sel] = max(split_idx, 0)
+            nearest_ray[sel] = nearest
+        routed = (self.field_cfg.hash_layout == "packed"
+                  and not self.field_cfg.use_proposal
+                  and self.field_cfg.n_blocks > 0)
+        if routed:
+            # per-ray block routing: ONE chunked stream over the whole
+            # batch (r3 weak 6: per-(split, nearest) groups padded each
+            # tail chunk — with many small camera groups most of the
+            # compute was padding)
+            groups = [(None, [np.arange(r)])]
+        else:
+            gmap: Dict[tuple, list] = {}
+            for cam in np.unique(cam_idx_np):
+                sel = np.nonzero(cam_idx_np == cam)[0]
+                key = (int(split_ray[sel[0]]), int(nearest_ray[sel[0]]))
+                gmap.setdefault(key, []).append(sel)
+            groups = list(gmap.items())
+        for gkey, sels in groups:
             sel = np.concatenate(sels)
             for start in range(0, len(sel), chunk):
                 ids = sel[start: start + chunk]
-                ro = jnp.asarray(o[ids]); rd = jnp.asarray(d[ids])
-                if len(ids) < chunk:
-                    pad = chunk - len(ids)
-                    ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
-                    rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
+                pad = chunk - len(ids)
+                pidx = np.concatenate([ids, np.repeat(ids[-1:], pad)])
+                ro = jnp.asarray(o[pidx]); rd = jnp.asarray(d[pidx])
+                if routed:
+                    rel = jnp.asarray(nearest_ray[pidx], jnp.int32)
+                    ab = jnp.asarray(split_ray[pidx], jnp.int32)
+                else:
+                    rel = jnp.asarray(gkey[1], jnp.int32)
+                    ab = jnp.asarray(gkey[0], jnp.int32)
                 out = self._render_chunk(
                     self.state.params, self.statics, self.sampler.oct_dev,
-                    ro, rd, jnp.asarray(nearest, jnp.int32),
-                    jnp.asarray(max(split_idx, 0), jnp.int32),
-                    jnp.asarray(stage == STAGE_BLOCK))
+                    ro, rd, rel, ab, jnp.asarray(stage == STAGE_BLOCK))
                 pred[ids] = np.asarray(out["rgb"])[: len(ids)]
         mse = float(np.mean((pred - batch["image"]) ** 2))
         return {"eval_rgb_mse": mse,

@@ -147,6 +147,28 @@ def main():
     ap.add_argument("--empty-tau", type=float, default=None,
                     help="shared-branch alpha threshold for 'empty' "
                          "(default 0.01)")
+    ap.add_argument("--dense-levels", type=int, default=None,
+                    help="finding-7 fix (b): first k residual levels use "
+                         "collision-free linear addressing where the grid "
+                         "fits the table")
+    ap.add_argument("--hash-layout", default=None,
+                    choices=["packed", "anchored"],
+                    help="override the config's hash layout at otherwise "
+                         "identical settings — records the packed-vs-"
+                         "anchored PSNR delta (VERDICT r3 ask 6; reference "
+                         "math Hash3DAnchored_cuda.cu:12-79). anchored here "
+                         "keeps the config's L/C (feature capacity "
+                         "comparable), not the parity L16C2")
+    ap.add_argument("--n-train", type=int, default=None,
+                    help="scene scale-up: number of training cameras "
+                         "(default 72)")
+    ap.add_argument("--n-val", type=int, default=None)
+    ap.add_argument("--img-wh", default=None,
+                    help="scene scale-up: WxH, e.g. 512x384 (default "
+                         "160x120)")
+    ap.add_argument("--rays-per-batch", type=int, default=None)
+    ap.add_argument("--max-depth", type=int, default=None,
+                    help="octree max depth for the scale-up regime")
     ap.add_argument("--init-ckpt", type=Path, default=None,
                     help="checkpoint dir saved at the init->focal "
                          "transition: written there after init if absent, "
@@ -160,13 +182,20 @@ def main():
     from gfnerf_tpu.engine.trainer import Trainer
 
     scene = args.scene_dir
+    img_wh = (tuple(int(v) for v in args.img_wh.split("x"))
+              if args.img_wh else (160, 120))
+    n_train = args.n_train or 72
+    n_val = args.n_val or 6
     if scene is None:
         suffix = "" if args.scene_variant == "textured" else (
             "_" + args.scene_variant)
+        if args.n_train or args.img_wh:
+            suffix += f"_{n_train}c_{img_wh[0]}x{img_wh[1]}"
         scene = Path("/tmp/quality_scene" + suffix)
     if not (scene / "train.npz").exists():
         print("building scene ...", flush=True)
-        build_scene(scene, variant=args.scene_variant)
+        build_scene(scene, n_train=n_train, n_val=n_val, img_wh=img_wh,
+                    variant=args.scene_variant)
     val_imgs = np.load(scene / "val.npz")["images"]
     base = trivial_baselines(val_imgs)
     print("trivial baselines:", base, flush=True)
@@ -233,6 +262,14 @@ def main():
         p.model.empty_space_penalty_mult = args.empty_penalty
     if args.empty_tau is not None:
         p.model.empty_space_tau = args.empty_tau
+    if args.dense_levels is not None:
+        p.field_block_dense_levels = args.dense_levels
+    if args.hash_layout is not None:
+        p.field_hash_layout = args.hash_layout
+    if args.rays_per_batch is not None:
+        p.datamanager.train_num_rays_per_batch = args.rays_per_batch
+    if args.max_depth is not None:
+        p.sampler.max_level = args.max_depth
     p.sampler.sub_div_milestones = (init_steps // 8, init_steps // 4,
                                     init_steps // 2)
     p.sampler.ray_march_fineness_decay_end_iter = init_steps

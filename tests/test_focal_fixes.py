@@ -179,3 +179,55 @@ def test_focal_uniform_fraction_mixes_full_scene_rays(tmp_path):
     mixed = b["rel_camera_indices"][ns:]
     assert mixed.shape[0] == 16
     assert (mixed >= 4).any()  # at least one full-scene ray outside cluster 0
+
+
+# ------------------------------------------------------------- fix (b) ----
+
+def test_dense_levels_collision_free_and_grad_consistent():
+    """Dense linear addressing (finding-7 fix (b)): within a volume, two
+    distinct cells never share a row on a dense level; the custom-VJP grad
+    matches autodiff of the raw forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.fields.packed_hash import (
+        dense_level_extents, init_packed_hash_params, pack_for_channels,
+        packed_hash_encode, packed_hash_encode_raw)
+
+    C, rows_log2, V, L = 4, 12, 2, 4
+    pack = pack_for_channels(C, 128)
+    feat, prim, bias = init_packed_hash_params(
+        seed=0, n_rows_log2=rows_log2, n_volumes=V, n_levels=L,
+        n_channels=C)
+    m, use = dense_level_extents(L, pack, V, 1 << rows_log2, dense_levels=2)
+    assert use[0], "level 0 grid must fit a 2^12 table at V=2"
+
+    # collision-free property on level 0: distinct cells -> distinct rows
+    import numpy as np
+    from gfnerf_tpu.fields.hash_encoding import _level_scales
+    scale0 = _level_scales(L)[0]
+    ml = int(m[0])
+    span = int(np.ceil(scale0 / pack)) + 1
+    assert span <= ml
+    # dense rows across the whole grid of volume 0 vs volume 1 never alias
+    rows0 = {(sx % ml) * ml * ml + (sy % ml) * ml + (sz % ml)
+             for sx in range(span) for sy in range(span)
+             for sz in range(span)}
+    assert len(rows0) == span ** 3          # injective within a volume
+    assert V * ml ** 3 <= (1 << rows_log2)  # volumes occupy disjoint ranges
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.random((128, 3)), jnp.float32)
+    anc = jnp.asarray(rng.integers(-1, V, 128), jnp.int32)
+    out_vjp = packed_hash_encode(feat, prim, bias, pts, anc, C, pack, 2)
+    out_raw = packed_hash_encode_raw(feat, prim, bias, pts, anc, C, pack, 2)
+    np.testing.assert_allclose(np.asarray(out_vjp), np.asarray(out_raw),
+                               rtol=1e-5, atol=1e-6)
+
+    g_vjp = jax.grad(lambda f: (packed_hash_encode(
+        f, prim, bias, pts, anc, C, pack, 2) ** 2).sum())(feat)
+    g_raw = jax.grad(lambda f: (packed_hash_encode_raw(
+        f, prim, bias, pts, anc, C, pack, 2) ** 2).sum())(feat)
+    denom = float(jnp.abs(g_raw).max()) + 1e-9
+    rel = float(jnp.abs(g_raw - g_vjp).max()) / denom
+    assert rel < 0.02, rel
