@@ -152,9 +152,14 @@ def model_forward(
     active_table=None,
     rays_o: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    routed_blocks: Optional[jnp.ndarray] = None,  # (R,) per-ray block (eval)
 ):
     """Field + compositing for one ray batch (GFNeRFModel.get_outputs,
     nerfacto.py:522-619).
+
+    routed_blocks: per-ray residual block ids (packed layout, eval only) —
+    the chunk may mix rays from every cluster; each point reads its own
+    ray's block table (fields.field.field_density_routed).
 
     warp_deferred: the fast march leaves warp_pts empty; warped coords are
     computed here (after compaction) from world_pts + trans_idx, cutting the
@@ -168,7 +173,8 @@ def model_forward(
     n_trans = oct_dev.w2xz.shape[0] if oct_dev is not None else 1
     budget = model_cfg.samples_budget_per_ray
     with_shared = (stage == STAGE_BLOCK
-                   and model_cfg.empty_space_penalty_mult > 0)
+                   and model_cfg.empty_space_penalty_mult > 0
+                   and routed_blocks is None)   # penalty is train-only
     if budget > 0 and budget < s:
         # Compaction: evaluate the field only on valid samples.  The
         # reference indexes by valid_mask (dynamic shapes); on TPU we gather
@@ -190,12 +196,21 @@ def model_forward(
                 field_cfg, oct_dev, jnp.clip(anc_k, 0, n_trans - 1), world_k)
         else:
             warp_k = samples.warp_pts.reshape(-1, 3)[safe]
-        dk = field_density(
-            params, statics, field_cfg, warp_k, anc_k, stage, active_block,
-            active_table=active_table, with_shared=with_shared)
-        density_k, geo_k = dk[0], dk[1]
-        shared_k = dk[2] if with_shared else None
         ray_k = safe // s
+        if routed_blocks is not None and stage == STAGE_BLOCK:
+            from gfnerf_tpu.fields.field import field_density_routed
+
+            blk_k = jnp.where(pad, -1, routed_blocks[ray_k])
+            density_k, geo_k = field_density_routed(
+                params, statics, field_cfg, warp_k, anc_k, blk_k)
+            shared_k = None
+        else:
+            dk = field_density(
+                params, statics, field_cfg, warp_k, anc_k, stage,
+                active_block, active_table=active_table,
+                with_shared=with_shared)
+            density_k, geo_k = dk[0], dk[1]
+            shared_k = dk[2] if with_shared else None
         from gfnerf_tpu.fields.field import _head_ray_pre, field_rgb_compact
 
         ray_pre = _head_ray_pre(params, field_cfg, rays_d,
@@ -226,13 +241,21 @@ def model_forward(
                                      ).reshape(r, s, 3)
         else:
             warp = samples.warp_pts
-        dd = field_density(
-            params, statics, field_cfg, warp, samples.trans_idx,
-            stage, active_block, active_table=active_table,
-            with_shared=with_shared,
-        )
-        density, geo = dd[0], dd[1]
-        density_shared = dd[2] if with_shared else None
+        if routed_blocks is not None and stage == STAGE_BLOCK:
+            from gfnerf_tpu.fields.field import field_density_routed
+
+            blk_s = jnp.broadcast_to(routed_blocks[:, None], (r, s))
+            density, geo = field_density_routed(
+                params, statics, field_cfg, warp, samples.trans_idx, blk_s)
+            density_shared = None
+        else:
+            dd = field_density(
+                params, statics, field_cfg, warp, samples.trans_idx,
+                stage, active_block, active_table=active_table,
+                with_shared=with_shared,
+            )
+            density, geo = dd[0], dd[1]
+            density_shared = dd[2] if with_shared else None
         heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
                                   rel_camera_indices, stage)
 
@@ -612,14 +635,26 @@ def make_render_fn(
                                  oct_dev=oct_dev, warp_deferred=deferred,
                                  rays_o=rays_o)
         if field_cfg.n_blocks > 0:
+            ab = jnp.asarray(active_block, jnp.int32)
+            # (R,)-shaped active_block = per-ray block routing (packed
+            # layout, dense path): one chunk may mix every cluster's rays
+            routed = (ab if ab.ndim == 1
+                      and field_cfg.hash_layout == "packed"
+                      and not field_cfg.use_proposal else None)
             out_block = model_forward(params, statics, field_cfg, model_cfg,
                                       samples, rays_d, rel, STAGE_BLOCK,
-                                      active_block, oct_dev=oct_dev,
+                                      0 if routed is not None else ab,
+                                      oct_dev=oct_dev,
                                       warp_deferred=deferred,
-                                      rays_o=rays_o)
+                                      rays_o=rays_o, routed_blocks=routed)
+            # branches can differ in auxiliary keys (e.g. the focal stage's
+            # density/density_shared when the empty-space penalty is
+            # configured — a train-only loss); merge the common set
+            common = sorted(set(out_init) & set(out_block))
             out = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(stage_is_block, b, a),
-                out_init, out_block,
+                {k: out_init[k] for k in common},
+                {k: out_block[k] for k in common},
             )
         else:
             out = out_init

@@ -1,0 +1,129 @@
+"""Per-ray block-routed eval (VERDICT r3 weak 6).
+
+The routed residual encode must agree exactly with the scalar-active-block
+path when all points share one block, and route independently when they
+don't.
+"""
+
+import numpy as np
+
+
+def _field(seed=0):
+    from gfnerf_tpu.fields.field import FieldConfig, init_field_params
+
+    cfg = FieldConfig(num_images=4, n_volumes=3, num_levels=4,
+                      features_per_level=4, hash_layout="packed",
+                      packed_rows_log2=8, n_blocks=2, hidden_dim=32,
+                      hidden_dim_color=32)
+    params, statics = init_field_params(cfg, seed=seed)
+    # make the residual tables nonzero and block-distinct
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+
+    params = params.replace(block_feats=jnp.asarray(
+        rng.uniform(-0.3, 0.3, params.block_feats.shape), jnp.float32))
+    return cfg, params, statics
+
+
+def test_routed_matches_scalar_block():
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.fields.field import (STAGE_BLOCK, field_density,
+                                         field_density_routed)
+
+    cfg, params, statics = _field()
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-1.4, 1.4, (96, 3)), jnp.float32)
+    anc = jnp.asarray(rng.integers(-1, 3, 96), jnp.int32)
+
+    for b in range(2):
+        d_scalar, g_scalar = field_density(params, statics, cfg, pts, anc,
+                                           STAGE_BLOCK, b)
+        d_routed, g_routed = field_density_routed(
+            params, statics, cfg, pts, anc,
+            jnp.full((96,), b, jnp.int32))
+        np.testing.assert_allclose(np.asarray(d_routed),
+                                   np.asarray(d_scalar), rtol=2e-2,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_routed),
+                                   np.asarray(g_scalar), rtol=2e-2,
+                                   atol=1e-4)
+
+
+def test_routed_mixes_blocks_per_point():
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.fields.field import field_density_routed
+
+    cfg, params, statics = _field()
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-1.4, 1.4, (64, 3)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, 3, 64), jnp.int32)
+
+    d0, _ = field_density_routed(params, statics, cfg, pts, anc,
+                                 jnp.zeros((64,), jnp.int32))
+    d1, _ = field_density_routed(params, statics, cfg, pts, anc,
+                                 jnp.ones((64,), jnp.int32))
+    mixed_blocks = jnp.asarray(np.arange(64) % 2, jnp.int32)
+    dm, _ = field_density_routed(params, statics, cfg, pts, anc,
+                                 mixed_blocks)
+    expect = np.where(np.arange(64) % 2 == 0, np.asarray(d0),
+                      np.asarray(d1))
+    np.testing.assert_allclose(np.asarray(dm), expect, rtol=1e-5, atol=1e-6)
+    # the two blocks' tables genuinely differ on these points
+    assert np.abs(np.asarray(d0) - np.asarray(d1)).max() > 1e-4
+
+
+def test_render_chunk_accepts_per_ray_blocks():
+    """make_render_fn with an (R,)-shaped active_block routes per ray and
+    matches two scalar-block renders row-wise."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.models.gfnerf import GFNeRFModelConfig, make_render_fn
+    from gfnerf_tpu.sampler.octree import build_octree
+    from gfnerf_tpu.sampler.perssampler import (SamplerConfig,
+                                                octree_to_device)
+    from tests.conftest import make_ring_cameras
+
+    cfg, params, statics = _field()
+    w, h = 32, 24
+    c2w, intri = make_ring_cameras(6, img_wh=(w, h))
+    bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (6, 1))
+    tree = build_octree(c2w, intri, bounds, max_depth=5, bbox_levels=3,
+                        n_rand_pts=512, vis_res_w=16, seed=0)
+    # rebuild field at the tree's volume count
+    from gfnerf_tpu.fields.field import FieldConfig, init_field_params
+    cfg = FieldConfig(num_images=6, n_volumes=tree.n_volumes, num_levels=4,
+                      features_per_level=4, hash_layout="packed",
+                      packed_rows_log2=8, n_blocks=2, hidden_dim=32,
+                      hidden_dim_color=32)
+    params, statics = init_field_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    params = params.replace(block_feats=jnp.asarray(
+        rng.uniform(-0.3, 0.3, params.block_feats.shape), jnp.float32))
+    oct_dev = octree_to_device(tree, capacity=4096)
+
+    S = 32
+    scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 64, locate_iters=8)
+    mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
+                             samples_budget_per_ray=S, s3im_loss_mult=0.0)
+    render = make_render_fn(cfg, mcfg, scfg)
+
+    R = 16
+    o = jnp.asarray(np.repeat(c2w[:2, :, 3], R // 2, axis=0), jnp.float32)
+    d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    rel = jnp.zeros((R,), jnp.int32)
+    stage_b = jnp.asarray(True)
+
+    out0 = render(params, statics, oct_dev, o, d, rel,
+                  jnp.asarray(0, jnp.int32), stage_b)
+    out1 = render(params, statics, oct_dev, o, d, rel,
+                  jnp.asarray(1, jnp.int32), stage_b)
+    blocks = jnp.asarray(np.arange(R) % 2, jnp.int32)
+    outm = render(params, statics, oct_dev, o, d, rel, blocks, stage_b)
+    for k in ("rgb", "accumulation"):
+        expect = np.where((np.arange(R) % 2 == 0)[:, None],
+                          np.asarray(out0[k]), np.asarray(out1[k]))
+        np.testing.assert_allclose(np.asarray(outm[k]), expect,
+                                   rtol=2e-2, atol=2e-3)
