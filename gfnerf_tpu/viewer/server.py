@@ -75,15 +75,33 @@ _PAGE = """<!DOCTYPE html>
 body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px}
 canvas{display:block;margin:auto;cursor:grab}
+#side{position:fixed;top:8px;right:8px;width:240px;background:#1a1a1acc;
+ padding:8px;max-height:92vh;overflow-y:auto;font-size:12px}
+#side h4{margin:4px 0}
+#camlist div{cursor:pointer;padding:1px 2px}
+#camlist div:hover{background:#333}
+#expout{word-break:break-all;background:#000;padding:4px;display:block;
+ margin-top:4px;user-select:all}
 </style></head><body>
 <div id="hud">gfnerf-tpu viewer &mdash; drag: orbit, wheel: zoom, shift-drag: pan,
 K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="addKeyframe()">add keyframe</button>
 <button onclick="clearKeyframes()">clear</button>
 <button onclick="exportPath()">export camera_path.json</button>
+<button onclick="toggleSide()">panel</button>
 <div id="train" style="display:none">train: <span id="stats"></span>
 <button id="pauseBtn" onclick="control('pause')">pause</button>
 <button onclick="control('stop')">stop + save</button></div></div>
+<div id="side" style="display:none">
+<h4>scene</h4><div id="octstats"></div>
+<div id="camlist"></div>
+<h4>export</h4>
+<select id="expmode"><option>pointcloud</option><option>mesh</option>
+<option>tsdf</option><option>textured</option><option>poses</option></select>
+<input id="expdir" value="exports" size="12">
+<button onclick="genExport()">generate command</button>
+<code id="expout"></code>
+</div>
 <canvas id="c" width="640" height="480"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -149,6 +167,52 @@ async function exportPath() {
   a.click();
 }
 window.onkeydown = e => { if (e.key === 'k') addKeyframe(); };
+let sideLoaded = false;
+async function toggleSide() {
+  const s = document.getElementById('side');
+  s.style.display = s.style.display === 'none' ? 'block' : 'none';
+  if (sideLoaded || s.style.display === 'none') return;
+  sideLoaded = true;
+  const res = await fetch('/scene');
+  const sc = await res.json();
+  const st = [];
+  if (sc.octree && sc.octree.n_nodes)
+    st.push('octree: ' + sc.octree.n_nodes + ' nodes, '
+            + sc.octree.n_leaves + ' leaves');
+  if (sc.blocks && Object.keys(sc.blocks).length)
+    st.push('blocks: ' + Object.entries(sc.blocks)
+            .map(([k,v]) => k + ':' + v + ' cams').join(', '));
+  document.getElementById('octstats').textContent = st.join(' | ');
+  const list = document.getElementById('camlist');
+  (sc.cameras || []).forEach(cam => {
+    const d = document.createElement('div');
+    d.textContent = 'cam ' + cam.index
+        + (cam.cluster !== null ? ' [b' + cam.cluster + ']' : '')
+        + ' ' + cam.name;
+    d.onclick = () => jumpTo(cam.c2w);
+    list.appendChild(d);
+  });
+}
+function jumpTo(c2w) {
+  // set orbit state so pose() reproduces the camera's position, looking
+  // along its -z axis toward a target at the current radius
+  const eye = [c2w[0][3], c2w[1][3], c2w[2][3]];
+  const fwd = [-c2w[0][2], -c2w[1][2], -c2w[2][2]];
+  target = [eye[0] + fwd[0]*radius, eye[1] + fwd[1]*radius,
+            eye[2] + fwd[2]*radius];
+  az = Math.atan2(eye[1]-target[1], eye[0]-target[0]);
+  const dxy = Math.hypot(eye[0]-target[0], eye[1]-target[1]);
+  el = Math.atan2(eye[2]-target[2], dxy);
+  render(2);
+}
+async function genExport() {
+  const res = await fetch('/export', {method:'POST', body: JSON.stringify({
+    mode: document.getElementById('expmode').value,
+    output_dir: document.getElementById('expdir').value})});
+  const r = await res.json();
+  document.getElementById('expout').textContent =
+      r.ok ? r.command : ('error: ' + r.error);
+}
 let paused = false;
 async function control(action) {
   if (action === 'pause' && paused) action = 'resume';
@@ -299,6 +363,69 @@ class ViewerServer:
             return b'{"ok": false, "error": "unknown action"}'
         return b'{"ok": true}'
 
+    def _scene(self) -> bytes:
+        """Scene-tree JSON: train cameras (click-to-jump poses), octree and
+        block statistics.  Equivalent of the reference viewer's SidePanel
+        scene tree (``nerfstudio/viewer_new/app/src/modules/SidePanel/`` —
+        camera list + scene objects), minus the three.js client."""
+        doc: dict = {"cameras": [], "octree": {}, "blocks": {}}
+        pipe = self.pipeline
+        if pipe is None:
+            return json.dumps(doc).encode()
+        try:
+            dm = getattr(pipe, "datamanager", None)
+            outputs = (dm.train_dataparser_outputs if dm is not None
+                       else pipe.train_outputs)
+            c2w = np.asarray(outputs.cameras.camera_to_worlds)
+            names = [str(f) for f in
+                     (outputs.image_filenames or [""] * len(c2w))]
+            sampler = getattr(pipe, "sampler", None)
+            labels = (np.asarray(sampler.cameras_labels).reshape(-1).tolist()
+                      if sampler is not None
+                      and sampler.cameras_labels is not None else None)
+            doc["cameras"] = [
+                {"index": i,
+                 "name": names[i].rsplit("/", 1)[-1] if i < len(names) else "",
+                 "c2w": c2w[i].tolist(),
+                 "cluster": labels[i] if labels else None}
+                for i in range(len(c2w))
+            ]
+            if sampler is not None:
+                tree = getattr(sampler, "tree", None)
+                doc["octree"] = {
+                    "n_nodes": int(tree.n_nodes) if tree is not None else 0,
+                    "n_leaves": int(np.sum(np.asarray(
+                        sampler.oct_dev.leaf_idx) >= 0)),
+                }
+                if labels:
+                    from collections import Counter
+                    doc["blocks"] = {str(k): v for k, v in
+                                     sorted(Counter(labels).items())}
+        except Exception as e:  # scene info is best-effort
+            doc["error"] = str(e)
+        return json.dumps(doc).encode()
+
+    def _export_cmd(self, req: dict) -> bytes:
+        """Build the exporter CLI command for the requested format — the
+        reference export panel likewise generates an ``ns-export ...``
+        command string for the user to run (viewer_new SidePanel export
+        tab)."""
+        mode = req.get("mode", "pointcloud")
+        if mode not in ("pointcloud", "poses", "mesh", "tsdf", "textured"):
+            return b'{"ok": false, "error": "unknown export mode"}'
+        cfg = "<run>/config.yml"
+        if self.save_dir is not None:
+            cand = Path(self.save_dir) / "config.yml"
+            cfg = str(cand)
+        out_dir = req.get("output_dir", "exports")
+        parts = ["python scripts/exporter.py", mode,
+                 f"--load-config {cfg}", f"--output-dir {out_dir}"]
+        if mode in ("mesh", "tsdf", "textured"):
+            parts.append(f"--resolution {int(req.get('resolution', 128))}")
+            parts.append("--density-threshold "
+                         f"{float(req.get('density_threshold', 5.0))}")
+        return json.dumps({"ok": True, "command": " ".join(parts)}).encode()
+
     def _camera_path(self, req: dict) -> bytes:
         doc = build_camera_path(
             req["keyframes"], req.get("width", 640), req.get("height", 480),
@@ -343,8 +470,9 @@ class ViewerServer:
                 pass
 
             def do_GET(self):
-                if self.path == "/status":
-                    body = viewer._status()
+                if self.path in ("/status", "/scene"):
+                    body = (viewer._status() if self.path == "/status"
+                            else viewer._scene())
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
@@ -365,6 +493,9 @@ class ViewerServer:
                         ctype = "application/json"
                     elif self.path == "/control":
                         body = viewer._control(req)
+                        ctype = "application/json"
+                    elif self.path == "/export":
+                        body = viewer._export_cmd(req)
                         ctype = "application/json"
                     else:
                         body = viewer._render(req)

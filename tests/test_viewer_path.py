@@ -160,3 +160,27 @@ def test_train_control_http_roundtrip():
     assert s["stopping"]
     assert not post("bogus")["ok"]
     held["httpd"].shutdown()
+
+
+def test_scene_and_export_endpoints():
+    """Side-panel endpoints (reference viewer SidePanel scene tree + export
+    tab): /scene degrades gracefully without a pipeline; /export generates
+    the exporter CLI command for every mode."""
+    import json
+
+    from gfnerf_tpu.viewer.server import ViewerServer
+
+    server = ViewerServer(pipeline=None, port=0)
+    doc = json.loads(server._scene())
+    assert doc["cameras"] == [] and doc["octree"] == {}
+
+    for mode in ("pointcloud", "mesh", "tsdf", "textured", "poses"):
+        r = json.loads(server._export_cmd({"mode": mode,
+                                           "output_dir": "/tmp/exp"}))
+        assert r["ok"], mode
+        assert f"scripts/exporter.py {mode}" in r["command"]
+        assert "--output-dir /tmp/exp" in r["command"]
+        if mode in ("mesh", "tsdf", "textured"):
+            assert "--resolution" in r["command"]
+    bad = json.loads(server._export_cmd({"mode": "nope"}))
+    assert not bad["ok"]
