@@ -176,12 +176,14 @@ def _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy, w, h, S,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="quality",
-                    choices=["quality", "perf160", "prop"],
+                    choices=["quality", "perf160", "prop", "parity"],
                     help="quality: the 384-budget fineness-1 config whose "
                          "end-metric evidence lives in QUALITY.md (default); "
                          "perf160: the former 160-slot throughput flagship; "
                          "prop: proposal-guided resampling (coverage march "
-                         "+ K fine samples)")
+                         "+ K fine samples); parity: the reference-exact "
+                         "anchored layout (L16C2, 2^19 rows, 192-slot "
+                         "march — the r1/r2 anchored benchmark shape)")
     ap.add_argument("--stage", default="init", choices=["init", "focal"],
                     help="focal: STAGE_BLOCK step (residual tables, frozen "
                          "shared params) — the stage the reference spends "
@@ -239,14 +241,26 @@ def main(argv=None):
         S = 384
         sample_l = _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy,
                                        w, h, S)
+    elif args.config == "parity":
+        S = 192
+        sample_l = 1.0 / 256
     else:
         S = 160
         sample_l = 1.0 / 256
     scfg = SamplerConfig(max_samples=S, sample_l=sample_l, locate_iters=12)
-    fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
-                       num_levels=8, features_per_level=4,
-                       hash_layout="packed", packed_rows_log2=15, n_blocks=2,
-                       mlp_dtype="bfloat16", use_proposal=use_prop)
+    if args.config == "parity":
+        # reference-exact anchored layout at the r1 parity shape
+        # (Hash3DAnchored: 16 levels x 2 ch; 2^19 rows fits the v5e)
+        fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
+                           num_levels=16, features_per_level=2,
+                           hash_layout="anchored", log2_hashmap_size=19,
+                           n_blocks=2, mlp_dtype="bfloat16")
+    else:
+        fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
+                           num_levels=8, features_per_level=4,
+                           hash_layout="packed", packed_rows_log2=15,
+                           n_blocks=2, mlp_dtype="bfloat16",
+                           use_proposal=use_prop)
     mcfg = GFNeRFModelConfig(
         n_blocks=2, scale_factor=1.0,
         samples_budget_per_ray=0 if use_prop else S,

@@ -185,12 +185,38 @@ class GFNerfDataManager:
 
     def next_train_parallel(self, step: int,
                             split_indices: List[int]) -> List[Dict]:
-        """One batch per active split, in split_indices order."""
+        """One batch per active split, in split_indices order.
+
+        ``focal_uniform_fraction`` applies per group: each group's batch
+        gets its tail replaced by full-scene uniform rays (same finding-7
+        fix (c) as :meth:`next_train`), with ``n_split_rays`` marking the
+        boundary for the per-group error writeback."""
+        cfg = self.config
         batches = []
         for s in split_indices:
             outputs, sel, cache, sampler = self._parallel_splits[s]
             cache.step()
             batch = sampler.sample(cache)
+            n_rays = batch["image"].shape[0]
+            n_split = n_rays
+            if cfg.focal_uniform_fraction > 0:
+                n_mix = min(max(int(round(
+                    cfg.focal_uniform_fraction * n_rays)), 0), n_rays - 1)
+                if n_mix > 0:
+                    n_split = n_rays - n_mix
+                    self.init_cache.step()
+                    mix_idx = self.init_pixel_sampler.sample_indices_uniform(
+                        self.init_cache, n_mix)
+                    mix = collate_batch(self.init_cache, mix_idx)
+                    batch = {
+                        k: np.concatenate([batch[k][:n_split], mix[k]],
+                                          axis=0)
+                        for k in ("indices", "image", "camera_indices",
+                                  "rel_camera_indices", "coords",
+                                  "semantics")
+                        if k in batch and k in mix
+                    }
+            batch["n_split_rays"] = np.int32(n_split)
             batch["step"] = np.int32(step)
             batch["split_idx"] = np.int32(s)
             batch["_cache"] = cache

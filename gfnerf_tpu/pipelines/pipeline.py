@@ -326,8 +326,9 @@ class GFNerfPipeline:
         r = errs_np.shape[0] // len(blocks)
         for i, (b, cache) in enumerate(zip(batches, caches)):
             if cache.error_maps is not None:
-                cache.update_error_map(b["indices"],
-                                       errs_np[i * r:(i + 1) * r])
+                ns = int(b.get("n_split_rays", r))
+                cache.update_error_map(b["indices"][:ns],
+                                       errs_np[i * r:(i + 1) * r][:ns])
         losses_np = np.asarray(losses)
         return {"loss": float(losses_np.mean()),
                 **{f"block_{blk}_loss": float(l)

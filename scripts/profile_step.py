@@ -73,6 +73,18 @@ def build_workload(config: str, n_rays: int):
                            n_blocks=2, mlp_dtype="bfloat16")
         mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
                                  samples_budget_per_ray=S)
+    elif config == "parity":
+        # reference-exact anchored layout (r4: measures the anchored
+        # struct-of-arrays + bf16 pair-packed-table rework vs r2's 1.4k)
+        S = 192
+        scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256,
+                             locate_iters=12)
+        fcfg = FieldConfig(num_images=n_cams, n_volumes=tree.n_volumes,
+                           num_levels=16, features_per_level=2,
+                           hash_layout="anchored", log2_hashmap_size=19,
+                           n_blocks=2, mlp_dtype="bfloat16")
+        mcfg = GFNeRFModelConfig(n_blocks=2, scale_factor=1.0,
+                                 samples_budget_per_ray=S)
     elif config == "prop":
         S = 160
         scfg = SamplerConfig(max_samples=S, sample_l=1.0 / 256,
@@ -138,7 +150,7 @@ def timeit(fn, args, iters, readback):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="perf",
-                    choices=["perf", "prop", "quality"])
+                    choices=["perf", "prop", "quality", "parity"])
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", type=Path, default=None)
@@ -191,22 +203,27 @@ def main():
                              maxval=1.4)
     anc = jnp.zeros((P,), jnp.int32)
 
-    # 2. encode fwd / fwd+bwd (packed, main field shape)
-    from gfnerf_tpu.fields.packed_hash import (
-        pack_for_channels, packed_hash_encode)
+    # 2. encode fwd / fwd+bwd at the main field shape (layout-dependent)
+    if fcfg.hash_layout == "packed":
+        from gfnerf_tpu.fields.packed_hash import (
+            pack_for_channels, packed_hash_encode)
 
-    pack = pack_for_channels(fcfg.features_per_level, fcfg.packed_row_width)
-    f_enc = jax.jit(lambda ft, p: packed_hash_encode(
-        ft, w["statics"].global_prim, w["statics"].global_bias, p, anc,
-        fcfg.features_per_level, pack))
+        pack = pack_for_channels(fcfg.features_per_level,
+                                 fcfg.packed_row_width)
+        enc_fn = lambda ft, p: packed_hash_encode(
+            ft, w["statics"].global_prim, w["statics"].global_bias, p, anc,
+            fcfg.features_per_level, pack)
+    else:
+        from gfnerf_tpu.fields.hash_encoding import hash_encode_sorted
+
+        enc_fn = lambda ft, p: hash_encode_sorted(
+            ft, w["statics"].global_prim, w["statics"].global_bias, p, anc)
+    f_enc = jax.jit(enc_fn)
     results["encode_fwd_ms"] = timeit(
         f_enc, (w["params"].global_feat, pts), args.iters,
         lambda o: float(jnp.sum(o)))
 
-    f_encb = jax.jit(jax.grad(lambda ft, p: jnp.sum(
-        packed_hash_encode(ft, w["statics"].global_prim,
-                           w["statics"].global_bias, p, anc,
-                           fcfg.features_per_level, pack))))
+    f_encb = jax.jit(jax.grad(lambda ft, p: jnp.sum(enc_fn(ft, p))))
     results["encode_fwdbwd_ms"] = timeit(
         f_encb, (w["params"].global_feat, pts), args.iters,
         lambda o: float(jnp.sum(o)))
