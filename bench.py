@@ -81,7 +81,8 @@ def _kill_group(pid: int) -> None:
         time.sleep(1.0)
 
 
-def _supervise(inner_argv: list[str], attempts: int, timeout_s: float) -> int:
+def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
+               script: "Path | None" = None) -> int:
     """Run the bench in a fresh setsid subprocess, retrying on wedge.
 
     Failure modes handled (PERF_NOTES.md "Measurement discipline"):
@@ -93,12 +94,15 @@ def _supervise(inner_argv: list[str], attempts: int, timeout_s: float) -> int:
     Ports are assigned per-process, so a retry in a fresh process lands on a
     clean port (2/3 retries succeed in practice).
     """
-    script = Path(__file__).resolve()
+    if script is None:
+        script = Path(__file__).resolve()
     for attempt in range(1, attempts + 1):
         proc = subprocess.Popen(
             [sys.executable, str(script), "--inner", *inner_argv],
-            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            stdout=subprocess.PIPE, stderr=None, text=True,
             start_new_session=True, cwd=str(script.parent))
+        # stderr=None inherits fd 2 directly (sys.stderr may be a
+        # non-file object, e.g. under pytest capture)
         timed_out = False
         try:
             out, _ = proc.communicate(timeout=timeout_s)
