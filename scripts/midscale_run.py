@@ -169,6 +169,11 @@ def main():
         "--pipeline.field_mlp_dtype", "bfloat16",
         "--pipeline.model.samples_budget_per_ray", "384",
         "--pipeline.sampler.max_samples", "384",
+        # start the padded octree small; the manager doubles capacity (one
+        # retrace) when a milestone rebuild outgrows it — the 262,144-node
+        # default allocated ~8x more (N,3)-padded node state than this
+        # scene ever uses (r3 phase-1 OOM headroom)
+        "--pipeline.sampler.node_capacity", "32768",
         "--steps_per_save", str(save_every),
         "--steps_per_eval_batch", "1000000000",
         "--steps_per_eval_image", "1000000000",

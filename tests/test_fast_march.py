@@ -151,3 +151,43 @@ def test_tree_cut_covers_every_leaf_once(ring_cameras):
             while p != node and p >= 0:
                 p = tree.parents[p]
             assert p == node
+
+
+def test_warp_points_has_no_structured_warp_temps():
+    """Regression guard for the midscale HBM OOM (r3): the old warp_points
+    gathered structured (P, 12, 2, 4) rows whose T(4, 128) tiling padded
+    10.7x — 12 GB of HLO temps at the 3.1M-point midscale shape.  The flat
+    w2xz_flat layout must keep every warp intermediate 2-D with a
+    128-friendly minor dim."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gfnerf_tpu.sampler.perssampler import warp_points
+    from gfnerf_tpu.sampler.octree import build_octree
+    from gfnerf_tpu.sampler.perssampler import octree_to_device
+    from tests.conftest import make_ring_cameras
+
+    c2w, intri = make_ring_cameras(6, img_wh=(32, 24))
+    bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (6, 1))
+    tree = build_octree(c2w, intri, bounds, max_depth=5, bbox_levels=3,
+                        n_rand_pts=512, vis_res_w=16, seed=0)
+    oct_dev = octree_to_device(tree, capacity=2048)
+
+    P = 1000
+    jaxpr = jax.make_jaxpr(
+        lambda t, p: warp_points(oct_dev, t, p))(
+        jnp.zeros((P,), jnp.int32), jnp.zeros((P, 3), jnp.float32))
+
+    def shapes(jp):
+        for eqn in jp.eqns:
+            for v in eqn.outvars:
+                if hasattr(v, "aval") and hasattr(v.aval, "shape"):
+                    yield v.aval.shape
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    yield from shapes(sub.jaxpr)
+
+    bad = [s for s in shapes(jaxpr.jaxpr)
+           if len(s) >= 3 and s[0] == P and s[-1] <= 8 and s[-2] <= 16]
+    assert not bad, f"narrow structured per-point temps reappeared: {bad}"
