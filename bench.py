@@ -324,9 +324,13 @@ def main(argv=None):
     # quantifies the difference).  Real training pipelines ingestion behind
     # compute, so the steady-state number should exclude it.
     subkeys = list(jax.random.split(key, n_dispatch))  # materialized pre-t0
+    t_stage = time.perf_counter()
     _ = float(sum(jnp.sum(v.astype(jnp.float32))
                   for bs in batch_sets for v in bs.values())
               + sum(jnp.sum(k_.astype(jnp.float32)) for k_ in subkeys))
+    print(f"[bench] batch staging (host->device, excluded from the timed "
+          f"region): {time.perf_counter() - t_stage:.2f}s for "
+          f"{n_dispatch} x {K} batches", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(n_dispatch):
         state, oct_dev, metrics, _ = step_fn(
