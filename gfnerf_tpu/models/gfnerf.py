@@ -128,6 +128,15 @@ class GFNeRFModelConfig:
     empty_space_tau: float = 0.01
     """Shared-branch alpha below which a sample counts as empty space for
     the penalty above."""
+    remat_chunks: int = 0
+    """> 1 rematerializes the compacted field evaluation in this many
+    point-chunks (``lax.map`` over a ``jax.checkpoint``-ed body): the
+    backward pass recomputes the hash-encode gathers chunk by chunk instead
+    of saving residuals for all R*budget points at once.  ~2x encode-forward
+    FLOPs for a ~remat_chunks-fold cut in encode activation memory — the
+    HBM lever for the paper-default workload (8192 rays x 1024 samples,
+    2^21x16 tables: results/midscale/train_phase1.log OOM'd at 16.57G of
+    15.75G without it).  Must divide R * samples_budget_per_ray."""
 
 
 @dataclass
@@ -197,6 +206,11 @@ def model_forward(
         else:
             warp_k = samples.warp_pts.reshape(-1, 3)[safe]
         ray_k = safe // s
+        from gfnerf_tpu.fields.field import _head_ray_pre, field_rgb_compact
+
+        ray_pre = _head_ray_pre(params, field_cfg, rays_d,
+                                rel_camera_indices)
+        n_chunks = model_cfg.remat_chunks
         if routed_blocks is not None and stage == STAGE_BLOCK:
             from gfnerf_tpu.fields.field import field_density_routed
 
@@ -204,6 +218,43 @@ def model_forward(
             density_k, geo_k = field_density_routed(
                 params, statics, field_cfg, warp_k, anc_k, blk_k)
             shared_k = None
+            heads_k = field_rgb_compact(params, field_cfg, ray_pre, geo_k,
+                                        ray_k)
+        elif n_chunks > 1:
+            # Rematerialized evaluation: lax.map over point-chunks with a
+            # checkpointed body — the backward recomputes each chunk's
+            # encode gathers + head MLP instead of saving residuals for all
+            # k points (see GFNeRFModelConfig.remat_chunks).
+            assert k % n_chunks == 0, (
+                f"remat_chunks={n_chunks} must divide "
+                f"rays*budget={k}")
+
+            @jax.checkpoint
+            def _chunk_eval(ch):
+                warp_c, anc_c, ray_c = ch
+                dc = field_density(
+                    params, statics, field_cfg, warp_c, anc_c, stage,
+                    active_block, active_table=active_table,
+                    with_shared=with_shared)
+                heads_c = field_rgb_compact(params, field_cfg, ray_pre,
+                                            dc[1], ray_c)
+                return (dc[0], dc[2], heads_c) if with_shared else (
+                    dc[0], heads_c)
+
+            kc = k // n_chunks
+            outs = jax.lax.map(_chunk_eval,
+                               (warp_k.reshape(n_chunks, kc, 3),
+                                anc_k.reshape(n_chunks, kc),
+                                ray_k.reshape(n_chunks, kc)))
+            if with_shared:
+                density_k, shared_k, heads_k = outs
+                shared_k = shared_k.reshape(k)
+            else:
+                density_k, heads_k = outs
+                shared_k = None
+            density_k = density_k.reshape(k)
+            heads_k = {name: val.reshape(k, *val.shape[2:])
+                       for name, val in heads_k.items()}
         else:
             dk = field_density(
                 params, statics, field_cfg, warp_k, anc_k, stage,
@@ -211,11 +262,8 @@ def model_forward(
                 with_shared=with_shared)
             density_k, geo_k = dk[0], dk[1]
             shared_k = dk[2] if with_shared else None
-        from gfnerf_tpu.fields.field import _head_ray_pre, field_rgb_compact
-
-        ray_pre = _head_ray_pre(params, field_cfg, rays_d,
-                                rel_camera_indices)
-        heads_k = field_rgb_compact(params, field_cfg, ray_pre, geo_k, ray_k)
+            heads_k = field_rgb_compact(params, field_cfg, ray_pre, geo_k,
+                                        ray_k)
         density = (jnp.zeros((r * s,))
                    .at[idx].set(density_k, mode="drop").reshape(r, s))
         density_shared = (
@@ -241,6 +289,7 @@ def model_forward(
                                      ).reshape(r, s, 3)
         else:
             warp = samples.warp_pts
+        n_chunks = model_cfg.remat_chunks
         if routed_blocks is not None and stage == STAGE_BLOCK:
             from gfnerf_tpu.fields.field import field_density_routed
 
@@ -248,6 +297,42 @@ def model_forward(
             density, geo = field_density_routed(
                 params, statics, field_cfg, warp, samples.trans_idx, blk_s)
             density_shared = None
+            heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
+                                      rel_camera_indices, stage)
+        elif n_chunks > 1:
+            # Dense-path remat: chunk over RAYS (the compacted path above
+            # chunks over points) — see GFNeRFModelConfig.remat_chunks.
+            assert r % n_chunks == 0, (
+                f"remat_chunks={n_chunks} must divide rays={r}")
+
+            @jax.checkpoint
+            def _ray_chunk_eval(ch):
+                warp_c, anc_c, rays_d_c, cam_c = ch
+                dd = field_density(
+                    params, statics, field_cfg, warp_c, anc_c, stage,
+                    active_block, active_table=active_table,
+                    with_shared=with_shared)
+                heads_c = field_rgb_per_ray(params, field_cfg, rays_d_c,
+                                            dd[1], cam_c, stage)
+                return (dd[0], dd[2], heads_c) if with_shared else (
+                    dd[0], heads_c)
+
+            rc = r // n_chunks
+            outs = jax.lax.map(
+                _ray_chunk_eval,
+                (warp.reshape(n_chunks, rc, s, 3),
+                 samples.trans_idx.reshape(n_chunks, rc, s),
+                 rays_d.reshape(n_chunks, rc, 3),
+                 rel_camera_indices.reshape(n_chunks, rc)))
+            if with_shared:
+                density, density_shared, heads = outs
+                density_shared = density_shared.reshape(r, s)
+            else:
+                density, heads = outs
+                density_shared = None
+            density = density.reshape(r, s)
+            heads = {name: val.reshape(r, s, *val.shape[3:])
+                     for name, val in heads.items()}
         else:
             dd = field_density(
                 params, statics, field_cfg, warp, samples.trans_idx,
@@ -256,8 +341,8 @@ def model_forward(
             )
             density, geo = dd[0], dd[1]
             density_shared = dd[2] if with_shared else None
-        heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
-                                  rel_camera_indices, stage)
+            heads = field_rgb_per_ray(params, field_cfg, rays_d, geo,
+                                      rel_camera_indices, stage)
 
     # fused Pallas compositing (weights + alphas + rgb + acc + depth in one
     # VMEM pass); falls back to the jnp path off-TPU or on unsupported shapes

@@ -174,6 +174,11 @@ def main():
         # default allocated ~8x more (N,3)-padded node state than this
         # scene ever uses (r3 phase-1 OOM headroom)
         "--pipeline.sampler.node_capacity", "32768",
+        # rematerialize the field eval in 8 ray-chunks: the backward
+        # recomputes encode gathers per chunk instead of holding residuals
+        # for all rays*samples points (second half of the r3 OOM headroom;
+        # tests/test_remat.py pins grad equivalence)
+        "--pipeline.model.remat_chunks", "8",
         "--steps_per_save", str(save_every),
         "--steps_per_eval_batch", "1000000000",
         "--steps_per_eval_image", "1000000000",

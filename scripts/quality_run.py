@@ -151,6 +151,10 @@ def main():
                     help="finding-7 fix (b): first k residual levels use "
                          "collision-free linear addressing where the grid "
                          "fits the table")
+    ap.add_argument("--remat-chunks", type=int, default=None,
+                    help="rematerialize the field eval in this many chunks "
+                         "(memory lever for chip-sized workloads; "
+                         "tests/test_remat.py pins gradient equivalence)")
     ap.add_argument("--hash-layout", default=None,
                     choices=["packed", "anchored"],
                     help="override the config's hash layout at otherwise "
@@ -264,6 +268,8 @@ def main():
         p.model.empty_space_tau = args.empty_tau
     if args.dense_levels is not None:
         p.field_block_dense_levels = args.dense_levels
+    if args.remat_chunks is not None:
+        p.model.remat_chunks = args.remat_chunks
     if args.hash_layout is not None:
         p.field_hash_layout = args.hash_layout
     if args.rays_per_batch is not None:
