@@ -81,8 +81,27 @@ def _kill_group(pid: int) -> None:
         time.sleep(1.0)
 
 
+def _relay_listening() -> bool:
+    """True if anything is listening on the axon relay ports at all.
+
+    Distinguishes a *wedged* relay (listener up, port serialized by a stale
+    holder — retrying in a fresh process helps) from a *down* relay (tunnel
+    not running — no amount of retrying can reach the chip)."""
+    try:
+        out = subprocess.run(["ss", "-tln"], capture_output=True, text=True,
+                             timeout=10).stdout
+    except Exception:
+        return True  # can't tell; assume reachable
+    for line in out.splitlines():
+        if any(p in RELAY_PORTS for p in
+               (int(m) for m in _SS_PORT_RE.findall(line))):
+            return True
+    return False
+
+
 def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
-               script: "Path | None" = None) -> int:
+               script: "Path | None" = None,
+               cpu_fallback: bool = True) -> int:
     """Run the bench in a fresh setsid subprocess, retrying on wedge.
 
     Failure modes handled (PERF_NOTES.md "Measurement discipline"):
@@ -94,8 +113,14 @@ def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
     Ports are assigned per-process, so a retry in a fresh process lands on a
     clean port (2/3 retries succeed in practice).
     """
-    if script is None:
+    precheck = script is None  # unit tests pass a fake script: keep their
+    if script is None:         # attempt loop independent of this host's ports
         script = Path(__file__).resolve()
+    if precheck and not _relay_listening():
+        print("[bench] no listener on any relay port — skipping TPU "
+              "attempts entirely (the axon tunnel is launched externally; "
+              "nothing in this container can bring it up)", file=sys.stderr)
+        attempts = 0
     for attempt in range(1, attempts + 1):
         proc = subprocess.Popen(
             [sys.executable, str(script), "--inner", *inner_argv],
@@ -136,7 +161,51 @@ def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
             except (ProcessLookupError, PermissionError):
                 pass
         time.sleep(5.0)
-    print(f"[bench] all {attempts} attempts failed", file=sys.stderr)
+        if not _relay_listening():
+            print("[bench] no listener on any relay port — the TPU tunnel "
+                  "is down, not wedged; skipping remaining TPU attempts",
+                  file=sys.stderr)
+            break
+    print(f"[bench] TPU attempts exhausted", file=sys.stderr)
+    if not cpu_fallback:
+        return 1
+    # Last resort: measure on CPU with a scaled-down workload so the round
+    # still records a number (clearly labeled) instead of a stack trace.
+    # This happens ONLY when the chip is unreachable (e.g. the externally
+    # managed axon tunnel is down, as for most of round 4).
+    print("[bench] falling back to a CPU measurement (unit is labeled "
+          "'rays/s cpu-fallback' — NOT comparable to TPU numbers)",
+          file=sys.stderr)
+    # The axon sitecustomize (loaded via PYTHONPATH) calls
+    # jax.config.update("jax_platforms", "axon,cpu"), which OVERRIDES the
+    # JAX_PLATFORMS env var — and with the relay down the axon client then
+    # hangs in a connect-retry sleep forever.  Strip it from the child's
+    # module path entirely; bench.py puts its own dir on sys.path itself.
+    pythonpath = ":".join(
+        p for p in os.environ.get("PYTHONPATH", "").split(":")
+        if p and ".axon_site" not in p)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pythonpath)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # belt+braces: reg. trigger
+    proc = subprocess.Popen(
+        [sys.executable, str(script), "--inner", "--cpu-fallback",
+         *inner_argv],
+        stdout=subprocess.PIPE, stderr=None, text=True,
+        start_new_session=True, cwd=str(script.parent), env=env)
+    try:
+        out, _ = proc.communicate(timeout=max(timeout_s * 2.0, 60.0))
+    except subprocess.TimeoutExpired:
+        _kill_group(proc.pid)
+        out = proc.communicate()[0] or ""
+    for line in reversed(out.splitlines()):
+        if line.startswith("{"):
+            try:
+                if "metric" in json.loads(line):
+                    print(line)
+                    return 0
+            except json.JSONDecodeError:
+                pass
+            break
+    print("[bench] cpu fallback failed too", file=sys.stderr)
     return 1
 
 
@@ -197,6 +266,11 @@ def main(argv=None):
                     help="run the measurement in THIS process (set by the "
                          "supervisor; without it main() supervises a fresh "
                          "subprocess with wedge detection + retry)")
+    ap.add_argument("--cpu-fallback", action="store_true",
+                    help="set by the supervisor when the TPU relay is "
+                         "unreachable: scale the workload down and label "
+                         "the unit so the number cannot be mistaken for a "
+                         "chip measurement")
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=900.0,
                     help="per-attempt wall limit, seconds")
@@ -205,6 +279,10 @@ def main(argv=None):
         inner_argv = ["--config", args.config, "--stage", args.stage,
                       "--rays", str(args.rays)]
         sys.exit(_supervise(inner_argv, args.attempts, args.timeout))
+    # persistent compile cache: retries (and the slow CPU fallback) hit
+    # warm compiles instead of paying 40s-minutes again
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/gfnerf_xla_cache_bench")
     import jax
     import jax.numpy as jnp
 
@@ -233,8 +311,10 @@ def main(argv=None):
     images = render_spheres(c2w, fx, fy, cx, cy, w, h)
     bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (n_cams, 1))
 
-    tree = build_octree(c2w, intri, bounds, max_depth=8, bbox_levels=4,
-                        n_rand_pts=4096, vis_res_w=64, seed=0)
+    depth = 6 if args.cpu_fallback else 8
+    tree = build_octree(c2w, intri, bounds, max_depth=depth, bbox_levels=4,
+                        n_rand_pts=2048 if args.cpu_fallback else 4096,
+                        vis_res_w=32 if args.cpu_fallback else 64, seed=0)
     oct_dev = octree_to_device(tree, capacity=32768)
 
     use_prop = args.config == "prop"
@@ -243,8 +323,14 @@ def main(argv=None):
         # at end-state fineness, step length auto-calibrated so the median
         # ray covers its span in ~0.7 of the budget — QUALITY.md finding 1)
         S = 384
-        sample_l = _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy,
-                                       w, h, S)
+        if args.cpu_fallback:
+            # smaller march + skip the calibration loop (one retrace per
+            # trial sample_l — extra CPU compiles the fallback can't afford)
+            S = 192
+            sample_l = 1.0 / 64
+        else:
+            sample_l = _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx,
+                                           cy, w, h, S)
     elif args.config == "parity":
         S = 192
         sample_l = 1.0 / 256
@@ -274,7 +360,9 @@ def main(argv=None):
     tx = build_optimizer(ocfg, params)
     state = TrainState(params=params, opt_state=tx.init(optimizer_arg(params)),
                        step=jnp.asarray(0, jnp.int32))
-    K = 8
+    K = 2 if args.cpu_fallback else 8
+    if args.cpu_fallback:
+        args.rays = min(args.rays, 512)
     stage = STAGE_BLOCK if args.stage == "focal" else STAGE_INIT
     step_fn = make_multi_train_step(fcfg, mcfg, scfg, tx, stage, K)
 
@@ -316,7 +404,7 @@ def main(argv=None):
                                          active, key)
     float(metrics["loss"][-1])
 
-    n_dispatch = 3
+    n_dispatch = 1 if args.cpu_fallback else 3
     batch_sets = [make_batches(i) for i in range(n_dispatch)]
     # Force the batch device-puts to complete BEFORE the timer: through the
     # relay a device put is asynchronous and slow, and r3's bench silently
@@ -342,10 +430,13 @@ def main(argv=None):
 
     suffix = "" if (args.stage, args.config) == ("init", "quality") else (
         f"_{args.stage}_{args.config}")
+    unit = "rays/s"
+    if args.cpu_fallback:
+        unit = "rays/s (cpu-fallback: tpu relay unreachable)"
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip" + suffix,
         "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
+        "unit": unit,
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC_PER_CHIP,
                              4),
     }))

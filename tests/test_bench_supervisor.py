@@ -66,10 +66,34 @@ def test_supervisor_times_out_and_fails(tmp_path):
         time.sleep(60)           # simulates a wedged relay hang
     """)
     t0 = time.time()
-    rc = bench._supervise([], attempts=2, timeout_s=2, script=script)
+    rc = bench._supervise([], attempts=2, timeout_s=2, script=script,
+                          cpu_fallback=False)
     assert rc == 1
     # two attempts x 2 s + kill/cleanup slack, not the 60 s sleep
     assert time.time() - t0 < 40
+
+
+def test_supervisor_cpu_fallback_forwards_labeled_json(tmp_path, capsys):
+    """TPU attempts exhausted -> one clearly-labeled CPU-fallback attempt.
+
+    The fallback exists so a down (not merely wedged) relay still yields a
+    recorded number for the round (BENCH_r03 was lost to rc=1)."""
+    import json
+
+    import bench
+
+    script = _fake_script(tmp_path, """\
+        if "--cpu-fallback" in args:
+            assert os.environ.get("JAX_PLATFORMS") == "cpu"
+            print(json.dumps({"metric": "m", "value": 3.0,
+                              "unit": "rays/s (cpu-fallback)"}))
+        else:
+            sys.exit(1)          # chip unreachable
+    """)
+    rc = bench._supervise([], attempts=2, timeout_s=30, script=script)
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["value"] == 3.0 and "cpu-fallback" in doc["unit"]
 
 
 def test_stale_relay_pid_parser_skips_self():
