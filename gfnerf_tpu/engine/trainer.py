@@ -123,6 +123,10 @@ class Trainer:
                     if hasattr(pcfg, "datamanager")
                     else pcfg.train_num_rays_per_batch)
         t_start = time.perf_counter()
+        # K-step dispatch windows must not run past the final iteration
+        # (pipelines check this via total_train_steps before scanning)
+        if hasattr(self.pipeline, "total_train_steps"):
+            self.pipeline.total_train_steps = cfg.max_num_iterations
         for step in range(self._start_step, cfg.max_num_iterations):
             # viewer training controls (pause / stop+save), reference
             # viewer_utils.py:65-280 training-state machine
