@@ -2,10 +2,11 @@
 
 Host-side numpy/JSON/XML/CSV reimplementations of the reference's
 ``nerfstudio/process_data/{polycam,record3d,metashape,realitycapture}_utils``
-(each cited per function).  The reference's hloc path shells out to the hloc
-toolbox binary and insta360 shells out to ffmpeg dual-fisheye stitching;
-neither external tool exists in this environment, so those entry points
-raise with instructions instead of silently degrading (the COLMAP-parse and
+(each cited per function).  The insta360 crop/rotate/numbering pipeline is
+implemented natively in numpy (the reference expresses the same geometry as
+ffmpeg filter graphs, insta360_utils.py — only *video decode* still needs
+ffmpeg and stays gated); hloc drives the real hloc toolbox when installed
+and raises with install instructions otherwise (the COLMAP-parse and
 video-frame paths live in ``colmap_utils.py`` / ``scripts/process_data.py``).
 """
 
@@ -283,22 +284,198 @@ def realitycapture_to_json(image_filename_map: Dict[str, Path],
     return out
 
 
-# ----------------------------------------------------- tool-dependent stubs ----
+# ------------------------------------------------------------------ insta360 ----
+#
+# The reference's insta360 path (insta360_utils.py:54-194) is frame
+# extraction + per-lens cropping, implemented there as ffmpeg filter
+# graphs.  The geometry itself — uniform frame selection (``thumbnail=N``),
+# the 70% center crop that removes the curved fisheye border, the
+# transpose=2 / transpose=1 lens rotations, and the front-then-back
+# ``frame_%05d.png`` numbering — is pure array work, so for image
+# sequences (pre-decoded frames or photo-mode captures) we do it natively
+# in numpy; only *video decode* still needs ffmpeg and stays gated.
 
 
-def hloc_to_json(*_, **__):
-    """The reference's hloc path (hloc_utils.py) runs the external hloc
-    toolbox (SuperPoint+SuperGlue matching); hloc is not installed in this
-    environment."""
-    raise RuntimeError(
-        "hloc is not available in this environment; use the COLMAP path "
-        "(scripts/process_data.py images-colmap) or install "
-        "github.com/cvg/Hierarchical-Localization and re-run.")
+def _load_image(path: Path) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
 
 
-def insta360_to_images(*_, **__):
-    """The reference's insta360 path (insta360_utils.py) shells out to
-    ffmpeg for dual-fisheye stitching; ffmpeg is not installed here."""
-    raise RuntimeError(
-        "insta360 conversion needs ffmpeg (dual-fisheye stitch), which is "
-        "not available in this environment.")
+def _save_image(path: Path, arr: np.ndarray):
+    from PIL import Image
+
+    Image.fromarray(np.ascontiguousarray(arr)).save(path)
+
+
+def _select_frames(frames: List[Path], num_target: int) -> List[Path]:
+    """ffmpeg ``thumbnail=spacing`` equivalent: keep every spacing-th frame
+    (insta360_utils.py:93-97).  spacing <= 1 keeps everything (the
+    reference logs "Can't satisfy requested number of frames")."""
+    spacing = len(frames) // max(num_target, 1)
+    if spacing > 1:
+        return frames[::spacing]
+    return list(frames)
+
+
+def insta360_frames_to_images(
+    front_frames: List[Path], back_frames: List[Path], image_dir: Path,
+    num_frames_target: int, crop_percentage: float = 0.7,
+) -> List[str]:
+    """Two-file insta360 capture (front + back fisheye image sequences) ->
+    one ``frame_%05d.png`` sequence, matching
+    ``convert_insta360_to_images`` (insta360_utils.py:54-124): uniform
+    selection of num_frames_target//2 frames per lens, center crop to
+    ``crop_percentage`` of each side, front rotated 90 deg CCW
+    (``transpose=2``) / back 90 deg CW (``transpose=1``), back frames
+    numbered after the front ones."""
+    image_dir = Path(image_dir)
+    image_dir.mkdir(parents=True, exist_ok=True)
+    for img in image_dir.glob("*.png"):
+        img.unlink()
+
+    def crop_center(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[:2]
+        ch, cw = int(h * crop_percentage), int(w * crop_percentage)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return a[y0:y0 + ch, x0:x0 + cw]
+
+    idx = 0
+    per_lens = max(num_frames_target // 2, 1)
+    for frames, k_rot in ((_select_frames(front_frames, per_lens), 1),
+                          (_select_frames(back_frames, per_lens), -1)):
+        for p in frames:
+            arr = np.rot90(crop_center(_load_image(Path(p))), k=k_rot)
+            idx += 1
+            _save_image(image_dir / f"frame_{idx:05d}.png", arr)
+    return [f"Starting with {len(front_frames) + len(back_frames)} video "
+            f"frames", f"We extracted {idx} images"]
+
+
+def insta360_single_frames_to_images(
+    frames: List[Path], image_dir: Path, num_frames_target: int,
+    crop_percentage: float = 0.7,
+) -> List[str]:
+    """Single-file insta360 capture (both fisheyes side by side in one
+    frame) -> ``frame_%05d.png``, matching
+    ``convert_insta360_single_file_to_images`` (insta360_utils.py:127-194):
+    the front lens is the ih*p square at x = iw/2 + ih*p/4, the back lens
+    the ih*p square at x = ih*p/4, both at y = ih*p/4; no rotation; front
+    frames first, back appended."""
+    image_dir = Path(image_dir)
+    image_dir.mkdir(parents=True, exist_ok=True)
+    for img in image_dir.glob("*.png"):
+        img.unlink()
+
+    selected = _select_frames(frames, max(num_frames_target // 2, 1))
+    idx = 0
+    for off_front in (True, False):
+        for p in selected:
+            arr = _load_image(Path(p))
+            h, w = arr.shape[:2]
+            s = int(h * crop_percentage)
+            y0 = int(h * crop_percentage / 4)
+            x0 = (w // 2 + y0) if off_front else y0
+            idx += 1
+            _save_image(image_dir / f"frame_{idx:05d}.png",
+                        arr[y0:y0 + s, x0:x0 + s])
+    return [f"Starting with {len(frames)} video frames",
+            f"We extracted {idx} images"]
+
+
+def insta360_to_images(video_front: Path, video_back: Optional[Path],
+                       image_dir: Path, num_frames_target: int,
+                       crop_percentage: float = 0.7) -> List[str]:
+    """Video entry point: decodes with ffmpeg when present, then runs the
+    native frame pipeline above.  Only the decode needs the external
+    tool."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "insta360 *video* decode needs ffmpeg, which is not available "
+            "in this environment; photo-mode / pre-decoded captures work "
+            "via insta360_frames_to_images / "
+            "insta360_single_frames_to_images.")
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        outs = []
+        for name, video in (("front", video_front), ("back", video_back)):
+            if video is None:
+                continue
+            (td / name).mkdir()
+            subprocess.run(
+                ["ffmpeg", "-i", str(video), "-r", "1",
+                 str(td / name / "f_%05d.png")], check=True,
+                capture_output=True)
+            outs.append(sorted((td / name).glob("f_*.png")))
+        if len(outs) == 2:
+            return insta360_frames_to_images(
+                outs[0], outs[1], image_dir, num_frames_target,
+                crop_percentage)
+        return insta360_single_frames_to_images(
+            outs[0], image_dir, num_frames_target, crop_percentage)
+
+
+# ---------------------------------------------------------------------- hloc ----
+
+
+def hloc_to_json(image_dir: Path, output_dir: Path,
+                 matching_method: str = "vocab_tree",
+                 feature_type: str = "superpoint_aachen",
+                 matcher_type: str = "superglue",
+                 num_matched: int = 50) -> List[str]:
+    """SfM via the hloc toolbox (reference hloc_utils.py:52-141):
+    NetVLAD retrieval (or exhaustive pairs), SuperPoint features, SuperGlue
+    matching, pycolmap reconstruction — then the produced COLMAP model goes
+    through our own ``colmap_utils`` parser to transforms.json.  The hloc
+    package is imported lazily; without it this raises with install
+    instructions (it is not in this image)."""
+    try:
+        from hloc import (  # type: ignore
+            extract_features,
+            match_features,
+            pairs_from_exhaustive,
+            pairs_from_retrieval,
+            reconstruction,
+        )
+    except ImportError as e:
+        raise RuntimeError(
+            "hloc is not available in this environment; use the COLMAP "
+            "path (scripts/process_data.py images-colmap) or install "
+            "github.com/cvg/Hierarchical-Localization and re-run.") from e
+
+    image_dir, output_dir = Path(image_dir), Path(output_dir)
+    outputs = output_dir / "hloc"
+    outputs.mkdir(parents=True, exist_ok=True)
+    sfm_pairs = outputs / "pairs-netvlad.txt"
+    sfm_dir = outputs / "sparse"
+    features = outputs / "features.h5"
+    matches = outputs / "matches.h5"
+    references = [p.relative_to(image_dir).as_posix()
+                  for p in sorted(image_dir.iterdir()) if p.is_file()]
+
+    feature_conf = extract_features.confs[feature_type]
+    matcher_conf = match_features.confs[matcher_type]
+    extract_features.main(feature_conf, image_dir, image_list=references,
+                          feature_path=features)
+    if matching_method == "exhaustive":
+        pairs_from_exhaustive.main(sfm_pairs, image_list=references)
+    else:
+        retrieval_path = extract_features.main(
+            extract_features.confs["netvlad"], image_dir, outputs)
+        pairs_from_retrieval.main(retrieval_path, sfm_pairs,
+                                  num_matched=min(num_matched,
+                                                  len(references)))
+    match_features.main(matcher_conf, sfm_pairs, features=features,
+                        matches=matches)
+    reconstruction.main(sfm_dir, image_dir, sfm_pairs, features, matches,
+                        image_list=references)
+
+    from gfnerf_tpu.process_data.colmap_utils import colmap_to_json
+
+    n = colmap_to_json(sfm_dir, output_dir)
+    return [f"hloc reconstruction with {len(references)} images",
+            f"Colmap matched {n} images"]

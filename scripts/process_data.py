@@ -7,8 +7,9 @@ reconstruction (``images-colmap``), video frame extraction (``video``, via
 cv2), and the polycam / record3d / metashape / realitycapture capture
 formats (gfnerf_tpu/process_data/converters.py).  Running COLMAP itself is
 out of scope for this environment (no COLMAP binary); point
-``--colmap-model-dir`` at a sparse model.  hloc / insta360 need external
-tools absent here and raise with instructions.
+``--colmap-model-dir`` at a sparse model.  insta360 captures convert
+natively from pre-decoded frames (``insta360-images``); hloc runs when the
+hloc package is installed and raises with instructions otherwise.
 """
 
 from __future__ import annotations
@@ -25,7 +26,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("mode", choices=["images-colmap", "video",
                                          "polycam", "record3d", "metashape",
-                                         "realitycapture"])
+                                         "realitycapture", "insta360-images",
+                                         "hloc"])
     parser.add_argument("--data", type=Path, required=True,
                         help="image dir (images-colmap) or video file")
     parser.add_argument("--output-dir", type=Path, required=True)
@@ -101,6 +103,36 @@ def main(argv=None):
         fmap = {f.stem: Path("images") / f.name
                 for f in sorted(img_out.iterdir())}
         for line in realitycapture_to_json(fmap, args.metadata, out):
+            print(line)
+    elif args.mode == "insta360-images":
+        # pre-decoded insta360 frames: --data holds either front/ + back/
+        # subdirs (two-file capture) or flat dual-fisheye frames
+        # (single-file capture); the crop/rotate/numbering pipeline is
+        # native numpy (converters.py; video decode would need ffmpeg)
+        from gfnerf_tpu.process_data.converters import (
+            insta360_frames_to_images, insta360_single_frames_to_images)
+
+        img_out = out / "images"
+        if (args.data / "front").is_dir():
+            lines = insta360_frames_to_images(
+                sorted((args.data / "front").iterdir()),
+                sorted((args.data / "back").iterdir()),
+                img_out, args.num_frames_target)
+        else:
+            lines = insta360_single_frames_to_images(
+                sorted(p for p in args.data.iterdir() if p.is_file()),
+                img_out, args.num_frames_target)
+        for line in lines:
+            print(line)
+        print("now run COLMAP (fisheye camera model) on the frames, then "
+              "re-run with mode=images-colmap")
+    elif args.mode == "hloc":
+        from gfnerf_tpu.process_data.converters import hloc_to_json
+
+        img_out = out / "images"
+        if not img_out.exists():
+            shutil.copytree(args.data, img_out)
+        for line in hloc_to_json(img_out, out):
             print(line)
     elif args.mode == "video":
         import cv2

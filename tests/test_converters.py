@@ -123,8 +123,111 @@ def test_realitycapture(tmp_path):
     assert any("Missing image data for 1" in s for s in summary)
 
 
-def test_tool_dependent_stubs_raise():
+def test_tool_dependent_paths_gated(tmp_path):
+    """The tool-dependent entry points raise with instructions when the
+    external tool is absent (hloc package / ffmpeg for video decode)."""
     with pytest.raises(RuntimeError, match="hloc"):
-        hloc_to_json()
+        hloc_to_json(tmp_path, tmp_path / "out")
     with pytest.raises(RuntimeError, match="ffmpeg"):
-        insta360_to_images()
+        insta360_to_images(tmp_path / "a.insv", tmp_path / "b.insv",
+                           tmp_path / "images", 10)
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr.astype("uint8")).save(path)
+
+
+def test_insta360_two_file_frames(tmp_path):
+    """Native numpy equivalent of convert_insta360_to_images
+    (insta360_utils.py:54-124): spacing selection, 70% center crop,
+    transpose=2 (front, 90 CCW) / transpose=1 (back, 90 CW), back frames
+    numbered after the front."""
+    import numpy as np
+
+    from gfnerf_tpu.process_data.converters import insta360_frames_to_images
+
+    rng = np.random.default_rng(0)
+    front_dir = tmp_path / "front"
+    back_dir = tmp_path / "back"
+    front_dir.mkdir()
+    back_dir.mkdir()
+    fronts, backs = [], []
+    for i in range(8):
+        f = rng.integers(0, 255, (80, 100, 3))
+        b = rng.integers(0, 255, (80, 100, 3))
+        _write_png(front_dir / f"f_{i:03d}.png", f)
+        _write_png(back_dir / f"b_{i:03d}.png", b)
+        fronts.append(f)
+        backs.append(b)
+
+    out = tmp_path / "images"
+    # target 8 -> 4 per lens -> spacing 2 -> frames 0,2,4,6 of each
+    log = insta360_frames_to_images(
+        sorted(front_dir.iterdir()), sorted(back_dir.iterdir()), out,
+        num_frames_target=8)
+    files = sorted(out.glob("frame_*.png"))
+    assert [f.name for f in files] == [f"frame_{i:05d}.png"
+                                       for i in range(1, 9)]
+    assert "We extracted 8 images" in log[-1]
+
+    from PIL import Image
+
+    # crop: 80*0.7=56 rows, 100*0.7=70 cols at offsets (12, 15); rotation
+    # makes the saved image (70, 56)
+    def crop(a):
+        return a[12:12 + 56, 15:15 + 70]
+
+    got_front0 = np.asarray(Image.open(files[0]))
+    np.testing.assert_array_equal(got_front0, np.rot90(crop(fronts[0]), 1))
+    got_back0 = np.asarray(Image.open(files[4]))
+    np.testing.assert_array_equal(got_back0, np.rot90(crop(backs[0]), -1))
+    got_back6 = np.asarray(Image.open(files[7]))
+    np.testing.assert_array_equal(got_back6, np.rot90(crop(backs[6]), -1))
+
+
+def test_insta360_single_file_frames(tmp_path):
+    """convert_insta360_single_file_to_images semantics
+    (insta360_utils.py:127-194): both lenses side by side in one frame,
+    ih*p squares at x = ih*p/4 (back) and x = iw/2 + ih*p/4 (front), no
+    rotation, front numbered first."""
+    import numpy as np
+
+    from gfnerf_tpu.process_data.converters import (
+        insta360_single_frames_to_images)
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "frames"
+    src.mkdir()
+    frames = []
+    for i in range(3):
+        a = rng.integers(0, 255, (200, 400, 3))
+        _write_png(src / f"d_{i:03d}.png", a)
+        frames.append(a)
+
+    out = tmp_path / "images"
+    insta360_single_frames_to_images(sorted(src.iterdir()), out,
+                                     num_frames_target=6)
+    files = sorted(out.glob("frame_*.png"))
+    assert len(files) == 6  # 3 front + 3 back
+
+    from PIL import Image
+
+    s, y0 = 140, 35  # ih*0.7, ih*0.7/4
+    front0 = np.asarray(Image.open(files[0]))
+    np.testing.assert_array_equal(
+        front0, frames[0][y0:y0 + s, 200 + y0:200 + y0 + s])
+    back0 = np.asarray(Image.open(files[3]))
+    np.testing.assert_array_equal(back0, frames[0][y0:y0 + s, y0:y0 + s])
+
+
+def test_hloc_gated_without_package(tmp_path):
+    """Without the hloc package installed the driver raises with install
+    instructions (reference hloc_utils.py:29-50 _HAS_HLOC gate)."""
+    import pytest
+
+    from gfnerf_tpu.process_data.converters import hloc_to_json
+
+    with pytest.raises(RuntimeError, match="hloc is not available"):
+        hloc_to_json(tmp_path, tmp_path / "out")
