@@ -143,6 +143,9 @@ def gf_nerf_perf_config() -> TrainerConfig:
     # order, so marching S slots == marching 1024 then keeping the first S
     # valid samples — the compaction pass disappears entirely
     p.sampler.max_samples = 160
+    # amortize the ~100 ms host dispatch over 8 scanned steps (the bench's
+    # measured fast path; eval/save cadences above are multiples of 8)
+    p.steps_per_dispatch = 8
     return cfg
 
 
