@@ -4,10 +4,11 @@ Host-side numpy/JSON/XML/CSV reimplementations of the reference's
 ``nerfstudio/process_data/{polycam,record3d,metashape,realitycapture}_utils``
 (each cited per function).  The insta360 crop/rotate/numbering pipeline is
 implemented natively in numpy (the reference expresses the same geometry as
-ffmpeg filter graphs, insta360_utils.py — only *video decode* still needs
-ffmpeg and stays gated); hloc drives the real hloc toolbox when installed
-and raises with install instructions otherwise (the COLMAP-parse and
-video-frame paths live in ``colmap_utils.py`` / ``scripts/process_data.py``).
+ffmpeg filter graphs, insta360_utils.py), with video decode via cv2
+in-image (ffmpeg as fallback); hloc drives the real hloc toolbox when
+installed and raises with install instructions otherwise (the COLMAP-parse
+and video-frame paths live in ``colmap_utils.py`` /
+``scripts/process_data.py``).
 """
 
 from __future__ import annotations
@@ -291,9 +292,8 @@ def realitycapture_to_json(image_filename_map: Dict[str, Path],
 # graphs.  The geometry itself — uniform frame selection (``thumbnail=N``),
 # the 70% center crop that removes the curved fisheye border, the
 # transpose=2 / transpose=1 lens rotations, and the front-then-back
-# ``frame_%05d.png`` numbering — is pure array work, so for image
-# sequences (pre-decoded frames or photo-mode captures) we do it natively
-# in numpy; only *video decode* still needs ffmpeg and stays gated.
+# ``frame_%05d.png`` numbering — is pure array work, done natively in
+# numpy; video decode uses cv2 (in this image) or ffmpeg.
 
 
 def _load_image(path: Path) -> np.ndarray:
@@ -383,34 +383,55 @@ def insta360_single_frames_to_images(
             f"We extracted {idx} images"]
 
 
+def _decode_video_frames(video: Path, out_dir: Path) -> List[Path]:
+    """Decode every frame of a video to PNGs: cv2 when importable (in this
+    image), else ffmpeg, else raise."""
+    import shutil
+    import subprocess
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(str(video))
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            i += 1
+            cv2.imwrite(str(out_dir / f"f_{i:05d}.png"), frame)
+        cap.release()
+        if i == 0:
+            raise RuntimeError(f"video has no frames: {video}")
+        return sorted(out_dir.glob("f_*.png"))
+    except ImportError:
+        pass
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "insta360 *video* decode needs cv2 or ffmpeg, neither of which "
+            "is available; photo-mode / pre-decoded captures work via "
+            "insta360_frames_to_images / insta360_single_frames_to_images.")
+    subprocess.run(["ffmpeg", "-i", str(video), "-r", "1",
+                    str(out_dir / "f_%05d.png")], check=True,
+                   capture_output=True)
+    return sorted(out_dir.glob("f_*.png"))
+
+
 def insta360_to_images(video_front: Path, video_back: Optional[Path],
                        image_dir: Path, num_frames_target: int,
                        crop_percentage: float = 0.7) -> List[str]:
-    """Video entry point: decodes with ffmpeg when present, then runs the
-    native frame pipeline above.  Only the decode needs the external
-    tool."""
-    import shutil
-    import subprocess
+    """Video entry point: decode (cv2 in-image, ffmpeg as fallback), then
+    run the native frame pipeline above."""
     import tempfile
 
-    if shutil.which("ffmpeg") is None:
-        raise RuntimeError(
-            "insta360 *video* decode needs ffmpeg, which is not available "
-            "in this environment; photo-mode / pre-decoded captures work "
-            "via insta360_frames_to_images / "
-            "insta360_single_frames_to_images.")
     with tempfile.TemporaryDirectory() as td:
         td = Path(td)
         outs = []
         for name, video in (("front", video_front), ("back", video_back)):
             if video is None:
                 continue
-            (td / name).mkdir()
-            subprocess.run(
-                ["ffmpeg", "-i", str(video), "-r", "1",
-                 str(td / name / "f_%05d.png")], check=True,
-                capture_output=True)
-            outs.append(sorted((td / name).glob("f_*.png")))
+            outs.append(_decode_video_frames(Path(video), td / name))
         if len(outs) == 2:
             return insta360_frames_to_images(
                 outs[0], outs[1], image_dir, num_frames_target,

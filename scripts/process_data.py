@@ -27,7 +27,7 @@ def main(argv=None):
     parser.add_argument("mode", choices=["images-colmap", "video",
                                          "polycam", "record3d", "metashape",
                                          "realitycapture", "insta360-images",
-                                         "hloc"])
+                                         "insta360-video", "hloc"])
     parser.add_argument("--data", type=Path, required=True,
                         help="image dir (images-colmap) or video file")
     parser.add_argument("--output-dir", type=Path, required=True)
@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--metadata", type=Path, default=None,
                         help="record3d metadata.json / metashape cameras.xml"
                              " / realitycapture csv")
+    parser.add_argument("--video-back", type=Path, default=None,
+                        help="insta360-video: back-lens video (omit for "
+                             "single-file dual-fisheye captures)")
     args = parser.parse_args(argv)
 
     out = args.output_dir
@@ -123,6 +126,15 @@ def main(argv=None):
                 sorted(p for p in args.data.iterdir() if p.is_file()),
                 img_out, args.num_frames_target)
         for line in lines:
+            print(line)
+        print("now run COLMAP (fisheye camera model) on the frames, then "
+              "re-run with mode=images-colmap")
+    elif args.mode == "insta360-video":
+        from gfnerf_tpu.process_data.converters import insta360_to_images
+
+        for line in insta360_to_images(args.data, args.video_back,
+                                       out / "images",
+                                       args.num_frames_target):
             print(line)
         print("now run COLMAP (fisheye camera model) on the frames, then "
               "re-run with mode=images-colmap")

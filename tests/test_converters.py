@@ -125,12 +125,55 @@ def test_realitycapture(tmp_path):
 
 def test_tool_dependent_paths_gated(tmp_path):
     """The tool-dependent entry points raise with instructions when the
-    external tool is absent (hloc package / ffmpeg for video decode)."""
+    external tool is absent (hloc package) or the input is undecodable."""
     with pytest.raises(RuntimeError, match="hloc"):
         hloc_to_json(tmp_path, tmp_path / "out")
-    with pytest.raises(RuntimeError, match="ffmpeg"):
+    with pytest.raises(RuntimeError, match="frames|ffmpeg"):
         insta360_to_images(tmp_path / "a.insv", tmp_path / "b.insv",
                            tmp_path / "images", 10)
+
+
+def test_insta360_video_roundtrip(tmp_path):
+    """Full video path: cv2-encoded front/back videos decode in-image (no
+    ffmpeg) and run through the native crop/rotate/numbering pipeline."""
+    import numpy as np
+
+    cv2 = pytest.importorskip("cv2")
+
+    rng = np.random.default_rng(3)
+    vids = {}
+    frames = {}
+    for name in ("front", "back"):
+        path = str(tmp_path / f"{name}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                            (96, 80))
+        assert w.isOpened(), "cv2 VideoWriter lacks mp4v support"
+        fs = []
+        for _ in range(6):
+            # smooth low-frequency content survives lossy encoding
+            base = rng.integers(40, 200, (1, 1, 3))
+            f = np.tile(base, (80, 96, 1)).astype(np.uint8)
+            w.write(f)
+            fs.append(f)
+        w.release()
+        vids[name] = path
+        frames[name] = fs
+
+    out = tmp_path / "images"
+    log = insta360_to_images(vids["front"], vids["back"], out,
+                             num_frames_target=6)
+    files = sorted(out.glob("frame_*.png"))
+    assert len(files) == 6
+    assert "We extracted 6 images" in log[-1]
+
+    from PIL import Image
+
+    # frame 1 = front frame 0: cropped to 70% then rotated 90 CCW ->
+    # (67, 56); lossy codec -> compare means
+    got = np.asarray(Image.open(files[0]))
+    assert got.shape == (67, 56, 3)
+    want = frames["front"][0][..., ::-1]  # BGR -> RGB
+    assert abs(got.mean() - want.mean()) < 8.0
 
 
 def _write_png(path, arr):
