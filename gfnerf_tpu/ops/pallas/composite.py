@@ -31,6 +31,20 @@ import numpy as np
 TILE_R = 8
 
 
+def _pad_s(x, s_pad):
+    """Zero-pad the samples (last) axis up to s_pad.
+
+    Exact for this op: padded slots have density=0 and dt=0, hence
+    dd=0, alpha=0, weight=0 — every reduction (rgb/acc/depth), the
+    prefix/suffix scans, and every gradient output (each multiplied by
+    w, dts, or dens, all zero at pads) are unaffected.
+    """
+    s = x.shape[1]
+    if s == s_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, s_pad - s)))
+
+
 def _composite_reference(densities, dts, ts, rgbs):
     """Pure-jnp reference (identical math to cameras.rays +
     model_components.renderers)."""
@@ -143,6 +157,12 @@ def _composite_bwd_pallas(densities, dts, ts, rgbs, g, interpret=False):
 
     gw, ga, grgb, gacc, gdepth = g
     r, s = densities.shape
+    s_pad = 1 << (s - 1).bit_length()
+    if s_pad != s:
+        densities, dts, ts, gw, ga = (
+            _pad_s(x, s_pad) for x in (densities, dts, ts, gw, ga))
+        rgbs = jnp.pad(rgbs, ((0, 0), (0, s_pad - s), (0, 0)))
+    orig_s, s = s, s_pad
 
     def spec(cols):
         return pl.BlockSpec((TILE_R, cols), lambda i: (i, 0),
@@ -160,6 +180,9 @@ def _composite_bwd_pallas(densities, dts, ts, rgbs, g, interpret=False):
     )(densities, dts, ts, rgbs[..., 0], rgbs[..., 1], rgbs[..., 2],
       gw, ga, grgb, gacc, gdepth)
     g_dens, g_dts, g_ts, gr, gg, gb = outs
+    if orig_s != s:
+        g_dens, g_dts, g_ts, gr, gg, gb = (
+            x[:, :orig_s] for x in (g_dens, g_dts, g_ts, gr, gg, gb))
     return g_dens, g_dts, g_ts, jnp.stack([gr, gg, gb], axis=-1)
 
 
@@ -168,7 +191,12 @@ def _composite_pallas(densities, dts, ts, rgbs):
     from jax.experimental.pallas import tpu as pltpu
 
     r, s = densities.shape
-    assert r % TILE_R == 0 and (s & (s - 1)) == 0, (r, s)
+    assert r % TILE_R == 0, (r, s)
+    s_pad = 1 << (s - 1).bit_length()              # next pow2 (scan needs it)
+    if s_pad != s:
+        densities, dts, ts = (_pad_s(x, s_pad) for x in (densities, dts, ts))
+        rgbs = jnp.pad(rgbs, ((0, 0), (0, s_pad - s), (0, 0)))
+    orig_s, s = s, s_pad
     grid = (r // TILE_R,)
 
     def spec(cols):
@@ -188,6 +216,9 @@ def _composite_pallas(densities, dts, ts, rgbs):
             jax.ShapeDtypeStruct((r, 1), jnp.float32),
         ),
     )(densities, dts, ts, rgbs[..., 0], rgbs[..., 1], rgbs[..., 2])
+    if orig_s != s:
+        w, a, rgb, acc, depth = outs
+        outs = (w[:, :orig_s], a[:, :orig_s], rgb, acc, depth)
     return outs
 
 

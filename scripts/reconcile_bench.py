@@ -92,9 +92,10 @@ def main():
                 batch = w["batch"]
                 fin = jnp.asarray(fineness_val, jnp.float32)
 
-                def dispatch(st, od, key):
+                def dispatch(st, od, key, b=None):
                     st, od, metrics, err = fn(
-                        st, w["statics"], od, w["cameras"], batch, fin,
+                        st, w["statics"], od, w["cameras"],
+                        batch if b is None else b, fin,
                         jnp.asarray(0, jnp.int32), key)
                     return st, od, metrics
                 steps_per_dispatch = 1
@@ -116,7 +117,10 @@ def main():
                 gfmod.update_oct_nodes = orig
 
         key = jax.random.PRNGKey(0)
-        st, od = w["state"], w["oct_dev"]
+        # fresh copies: the step donates (state, oct) buffers, so reusing
+        # w["state"] across variants reads deleted arrays
+        st = jax.tree.map(jnp.copy, w["state"])
+        od = jax.tree.map(jnp.copy, w["oct_dev"])
         st, od, metrics = dispatch(st, od, key)          # compile + warm
         loss0 = metrics["loss"]
         _ = float(jnp.sum(loss0))
