@@ -30,6 +30,21 @@ import numpy as np
 
 TILE_R = 8
 
+# Pad ratio (next_pow2(S)/S) is always in [1, 2).  Above this threshold the
+# padded-fused kernel's extra compute/VMEM is assumed to lose to the jnp
+# fallback and we skip the Pallas path.  S=384 pads to 512 (ratio 1.33,
+# kept); worst case S=2^k+1 (ratio ~2) falls back.
+MAX_PAD_RATIO = 1.6
+_PAD_LOGGED: set = set()
+
+
+def _log_pad_once(s, s_pad, where):
+    key = (s, s_pad, where)
+    if s != s_pad and key not in _PAD_LOGGED:
+        _PAD_LOGGED.add(key)
+        print(f"[pallas composite] {where}: samples axis {s} zero-padded to "
+              f"{s_pad} (x{s_pad / s:.2f} kernel compute; exact, see _pad_s)")
+
 
 def _pad_s(x, s_pad):
     """Zero-pad the samples (last) axis up to s_pad.
@@ -158,6 +173,7 @@ def _composite_bwd_pallas(densities, dts, ts, rgbs, g, interpret=False):
     gw, ga, grgb, gacc, gdepth = g
     r, s = densities.shape
     s_pad = 1 << (s - 1).bit_length()
+    _log_pad_once(s, s_pad, "bwd")
     if s_pad != s:
         densities, dts, ts, gw, ga = (
             _pad_s(x, s_pad) for x in (densities, dts, ts, gw, ga))
@@ -193,6 +209,7 @@ def _composite_pallas(densities, dts, ts, rgbs):
     r, s = densities.shape
     assert r % TILE_R == 0, (r, s)
     s_pad = 1 << (s - 1).bit_length()              # next pow2 (scan needs it)
+    _log_pad_once(s, s_pad, "fwd")
     if s_pad != s:
         densities, dts, ts = (_pad_s(x, s_pad) for x in (densities, dts, ts))
         rgbs = jnp.pad(rgbs, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -238,7 +255,9 @@ def fused_composite(densities, dts, ts, rgbs):
     VJP when shapes allow, else the jnp formulation (XLA fuses it well).
     """
     global _PALLAS_FWD_OK
+    s = densities.shape[1]
     if (jax.default_backend() in ("tpu",) or _on_tpu()) and \
+            (1 << (s - 1).bit_length()) <= s * MAX_PAD_RATIO and \
             _PALLAS_FWD_OK is not False:
         try:
             out = _composite_pallas(densities, dts, ts, rgbs)
@@ -268,7 +287,8 @@ def _bwd(res, g):
     global _PALLAS_BWD_OK
     densities, dts, ts, rgbs = res
     r, s = densities.shape
-    if (_on_tpu() and r % TILE_R == 0 and (s & (s - 1)) == 0
+    if (_on_tpu() and r % TILE_R == 0
+            and (1 << (s - 1).bit_length()) <= s * MAX_PAD_RATIO
             and _PALLAS_BWD_OK is not False):
         try:
             out = _composite_bwd_pallas(densities, dts, ts, rgbs, g)

@@ -38,6 +38,7 @@ import pytest  # noqa: E402
 _SLOW_FILES = {
     "test_train_smoke.py",
     "test_parallel.py",
+    "test_ten_blocks.py",
     "test_temporal.py",
     "test_components.py",
 }
