@@ -113,10 +113,10 @@ def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
     Ports are assigned per-process, so a retry in a fresh process lands on a
     clean port (2/3 retries succeed in practice).
     """
-    precheck = script is None  # unit tests pass a fake script: keep their
-    if script is None:         # attempt loop independent of this host's ports
+    production = script is None  # unit tests pass a fake script: keep their
+    if script is None:           # attempt loop independent of host ports
         script = Path(__file__).resolve()
-    if precheck and not _relay_listening():
+    if production and not _relay_listening():
         print("[bench] no listener on any relay port — skipping TPU "
               "attempts entirely (the axon tunnel is launched externally; "
               "nothing in this container can bring it up)", file=sys.stderr)
@@ -153,15 +153,20 @@ def _supervise(inner_argv: list[str], attempts: int, timeout_s: float,
         print(f"[bench] attempt {attempt}/{attempts} failed: {why}",
               file=sys.stderr)
         _kill_group(proc.pid)   # make sure nothing of ours survives
-        for pid in _stale_relay_pids():
-            print(f"[bench] killing stale relay holder pid {pid}",
-                  file=sys.stderr)
-            try:
-                os.kill(pid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                pass
+        # Stale-holder sweep: ONLY in production, where the one-job-at-a-time
+        # protocol makes any surviving relay-port holder stale by definition.
+        # Unit tests (fake script) must never run it — the sweep uses the
+        # REAL ss -tnp and SIGKILLed a live chip job mid-run in round 5.
+        if production:
+            for pid in _stale_relay_pids():
+                print(f"[bench] killing stale relay holder pid {pid}",
+                      file=sys.stderr)
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
         time.sleep(5.0)
-        if not _relay_listening():
+        if production and not _relay_listening():
             print("[bench] no listener on any relay port — the TPU tunnel "
                   "is down, not wedged; skipping remaining TPU attempts",
                   file=sys.stderr)
@@ -230,13 +235,16 @@ def _calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy, w, h, S,
     d_w /= np.linalg.norm(d_w, axis=-1, keepdims=True)
     o = jnp.asarray(c2w[ki, :3, 3], jnp.float32)
     d = jnp.asarray(d_w, jnp.float32)
-    sample_l = 1.0 / 256
+    sample_l0 = sample_l = 1.0 / 256
     med = 0.0
+    # one compiled trial program: vary the traced fineness instead of the
+    # static sample_l (they enter the march only as a product) — a cold
+    # cache otherwise pays ~6 relay compiles here, which is what timed out
+    # BENCH_r04's first attempt (VERDICT r4 weak 5)
+    scfg = SamplerConfig(max_samples=S, sample_l=sample_l0, locate_iters=12)
     for _ in range(iters):
-        scfg = SamplerConfig(max_samples=S, sample_l=sample_l,
-                             locate_iters=12)
         samples = sample_rays(oct_dev, o, d, jnp.ones((n_rays, S)),
-                              jnp.asarray(1.0), scfg)
+                              jnp.asarray(sample_l / sample_l0), scfg)
         med = float(np.median(np.asarray(samples.num_valid)))
         if med <= fill * S:
             break
@@ -272,8 +280,11 @@ def main(argv=None):
                          "the unit so the number cannot be mistaken for a "
                          "chip measurement")
     ap.add_argument("--attempts", type=int, default=3)
-    ap.add_argument("--timeout", type=float, default=900.0,
-                    help="per-attempt wall limit, seconds")
+    ap.add_argument("--timeout", type=float, default=1500.0,
+                    help="per-attempt wall limit, seconds (sized for a COLD "
+                         "compile cache through the relay: the K=8 train "
+                         "step alone can take minutes to compile; BENCH_r04 "
+                         "attempt 1 timed out at 900 s exactly this way)")
     args = ap.parse_args(argv)
     if not args.inner:
         inner_argv = ["--config", args.config, "--stage", args.stage,
