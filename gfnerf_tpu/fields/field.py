@@ -103,6 +103,17 @@ class FieldConfig:
     packed_hash.dense_level_extents). QUALITY.md finding 7 fix (b): kills
     the surface/empty-space hash collisions that drive the focal fog
     overfit, at the cost of hash capacity flexibility on those levels."""
+    focal_mode: str = "residual"   # "residual" | "finetune"
+    """Focal-stage parameterization.  "residual": the reference's design —
+    zero-initialized per-block tables ADDED to the frozen global features
+    (nerfacto_field.py:477-489).  "finetune": a structurally different
+    design (QUALITY.md findings 7-8 falsified the residual fixes at small
+    scale): each block gets a full COPY of the trained global table
+    (copied once at the init->focal transition) and fine-tunes it at low lr
+    on its own cluster; the global table itself stays frozen as the
+    trust-region anchor (GFNeRFModelConfig.finetune_trust_mult).  Same
+    eval routing, same optimizer masking; the hash function (prims/biases)
+    is shared with the global table so the copy starts bit-identical."""
     use_proposal: bool = False
     """Proposal-guided resampling probe (models/gfnerf.py): a tiny packed
     hash table + 1-layer MLP whose density concentrates the main field's
@@ -184,7 +195,19 @@ def init_field_params(cfg: FieldConfig, seed: int = 0):
     # reference resets the global table, zeros the residual tables
     # (nerfacto_field.py:200, :345)
     g_feat, g_prim, g_bias = make_table("reset")
-    if cfg.n_blocks > 0:
+    if cfg.n_blocks > 0 and cfg.focal_mode == "finetune":
+        # per-block fine-tuned COPIES of the global table: same shape and
+        # same hash function (prims/biases) so the transition copy is
+        # bit-identical to the global encode.  Tables start zero and are
+        # overwritten with the trained global at the init->focal
+        # transition (pipeline.after_train_iteration).
+        block_feats = jnp.zeros((cfg.n_blocks,) + g_feat.shape,
+                                g_feat.dtype)
+        block_prims = jnp.broadcast_to(
+            g_prim[None], (cfg.n_blocks,) + g_prim.shape).copy()
+        block_biases = jnp.broadcast_to(
+            g_bias[None], (cfg.n_blocks,) + g_bias.shape).copy()
+    elif cfg.n_blocks > 0:
         bts = [make_table("zero", cfg.block_rows_log2)
                for _ in range(cfg.n_blocks)]
         block_feats = jnp.stack([b[0] for b in bts], axis=0)
@@ -299,29 +322,42 @@ def field_density(
         def encode(table, prim, bias, dense_levels=0):
             return hash_encode_sorted(table, prim, bias, pts, anc)
 
-    feats = encode(params.global_feat, statics.global_prim,
-                   statics.global_bias)
+    finetune = cfg.focal_mode == "finetune"
     shared_density = None
-    if stage == STAGE_BLOCK:
-        # Global branch frozen in focal stage (nerfacto_field.py:460-461);
-        # stop_gradient additionally prunes its (large) backward scatter.
-        feats = jax.lax.stop_gradient(feats)
+    # In finetune focal mode the block table REPLACES the global encode
+    # (it is a fine-tuned copy), so the global encode is only computed when
+    # its features are actually consumed.
+    if stage == STAGE_INIT or not finetune or with_shared:
+        gfeats = encode(params.global_feat, statics.global_prim,
+                        statics.global_bias)
+    if stage == STAGE_INIT:
+        feats = gfeats
+    else:
         if with_shared:
-            # shared-only density for the residual-delta penalty: one extra
-            # base_net pass (the encode — the expensive part — is reused);
-            # entirely stop-gradiented (the shared branch is frozen anyway).
-            hs = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
+            # shared-only density for the density-delta penalty: one extra
+            # base_net pass; entirely stop-gradiented (the shared branch is
+            # frozen in the focal stage anyway).
+            gsg = jax.lax.stop_gradient(gfeats)
+            hs = apply_mlp(params.base_net, gsg, compute_dtype=_mlp_dt(cfg))
             shared_density = jax.lax.stop_gradient(
                 trunc_exp(hs[..., 0] + cfg.density_bias) * (anc >= 0)
             ).reshape(lead_shape)
         table = (active_table if active_table is not None
                  else params.block_feats[active_block])
-        feats = feats + encode(
+        # dense_levels changes the addressing, so it only applies to
+        # residual tables (a fine-tuned copy must hash like the global)
+        enc_b = encode(
             table,
             statics.block_prims[active_block],
             statics.block_biases[active_block],
-            dense_levels=cfg.block_dense_levels,
+            dense_levels=0 if finetune else cfg.block_dense_levels,
         )
+        if finetune:
+            feats = enc_b
+        else:
+            # Global branch frozen in focal stage (nerfacto_field.py:460-461);
+            # stop_gradient additionally prunes its (large) backward scatter.
+            feats = jax.lax.stop_gradient(gfeats) + enc_b
 
     h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
     density_before, geo = h[..., :1], h[..., 1:]
@@ -362,13 +398,19 @@ def field_density_routed(
     anc = anchors.reshape(-1)
     blk = blocks.reshape(-1)
     pack = pack_for_channels(cfg.features_per_level, cfg.packed_row_width)
-    feats = packed_hash_encode(
-        params.global_feat, statics.global_prim, statics.global_bias,
-        pts, anc, cfg.features_per_level, pack)
-    feats = feats + packed_hash_encode_routed(
-        params.block_feats, statics.block_prims, statics.block_biases,
-        pts, anc, blk, cfg.features_per_level, pack,
-        cfg.block_dense_levels)
+    if cfg.focal_mode == "finetune":
+        # per-point fine-tuned table replaces the global encode entirely
+        feats = packed_hash_encode_routed(
+            params.block_feats, statics.block_prims, statics.block_biases,
+            pts, anc, blk, cfg.features_per_level, pack, 0)
+    else:
+        feats = packed_hash_encode(
+            params.global_feat, statics.global_prim, statics.global_bias,
+            pts, anc, cfg.features_per_level, pack)
+        feats = feats + packed_hash_encode_routed(
+            params.block_feats, statics.block_prims, statics.block_biases,
+            pts, anc, blk, cfg.features_per_level, pack,
+            cfg.block_dense_levels)
     h = apply_mlp(params.base_net, feats, compute_dtype=_mlp_dt(cfg))
     density = trunc_exp(h[..., 0] + cfg.density_bias) * (anc >= 0)
     return (density.reshape(lead_shape),

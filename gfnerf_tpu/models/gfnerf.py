@@ -128,6 +128,13 @@ class GFNeRFModelConfig:
     empty_space_tau: float = 0.01
     """Shared-branch alpha below which a sample counts as empty space for
     the penalty above."""
+    finetune_trust_mult: float = 0.0
+    """> 0 with focal_mode="finetune": L2 trust-region pull of the active
+    fine-tuned table toward the frozen global table it was copied from —
+    sum((table - global)^2) * mult.  Bounds how far cluster-only
+    supervision can drag the copy from the init state whose generalization
+    it inherits (the finetune answer to the residual fog overfit,
+    QUALITY.md findings 7-8)."""
     remat_chunks: int = 0
     """> 1 rematerializes the compacted field evaluation in this many
     point-chunks (``lax.map`` over a ``jax.checkpoint``-ed body): the
@@ -544,6 +551,14 @@ def _train_step_body(
             else:
                 rgb_loss = mse_loss(out["rgb"], target)
             losses = {"rgb_loss": rgb_loss}
+            if (stage == STAGE_BLOCK
+                    and field_cfg.focal_mode == "finetune"
+                    and model_cfg.finetune_trust_mult > 0
+                    and state.params.block_feats is not None):
+                anchor = jax.lax.stop_gradient(params.global_feat)
+                losses["trust_loss"] = (
+                    model_cfg.finetune_trust_mult
+                    * jnp.mean((active_table - anchor) ** 2))
             if "density_shared" in out:
                 # finding-7 fix (a): penalize residual density ADDED where
                 # the frozen shared branch says empty — the fog mode's

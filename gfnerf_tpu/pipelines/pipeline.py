@@ -63,6 +63,7 @@ class GFNerfPipelineConfig:
     field_packed_rows_log2: int = 15
     field_block_rows_log2: int | None = None  # residual-table rows when != global
     field_block_dense_levels: int = 0
+    field_focal_mode: str = "residual"    # "residual" | "finetune" (field.py)
     """First k residual levels use collision-free linear addressing where
     the grid fits (QUALITY.md finding-7 fix (b); FieldConfig doc)."""
     field_mlp_dtype: str = "float32"      # "bfloat16" = tcnn-fp16-class compute
@@ -155,6 +156,7 @@ class GFNerfPipeline:
             packed_rows_log2=config.field_packed_rows_log2,
             block_rows_log2=config.field_block_rows_log2,
             block_dense_levels=config.field_block_dense_levels,
+            focal_mode=config.field_focal_mode,
             mlp_dtype=config.field_mlp_dtype,
             use_proposal=config.field_use_proposal,
             warp_mode=config.field_warp_mode,
@@ -507,6 +509,16 @@ class GFNerfPipeline:
             self.render_init_error_maps(step)
             self.sampler.train_cameras_clustering(mcfg.n_blocks)
             self.sampler.update_block_idxs(self.block_centers)
+            if (self.field_cfg.focal_mode == "finetune"
+                    and self.state.params.block_feats is not None):
+                # finetune focal mode: seed every block table with the
+                # trained global table exactly once at the transition
+                # (labels persist through checkpoints, so a resume never
+                # re-copies).  Routed eval == shared eval at this instant.
+                g = self.state.params.global_feat
+                self.state = self.state.replace(params=self.state.params.replace(
+                    block_feats=jnp.broadcast_to(
+                        g[None], self.state.params.block_feats.shape)))
         if self.stage_of(step) == STAGE_BLOCK and self._parallel:
             phase = self.parallel_phase(step)
             if phase != self._last_split_idx:

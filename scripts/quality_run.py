@@ -163,6 +163,16 @@ def main():
                          "math Hash3DAnchored_cuda.cu:12-79). anchored here "
                          "keeps the config's L/C (feature capacity "
                          "comparable), not the parity L16C2")
+    ap.add_argument("--focal-mode", default=None,
+                    choices=["residual", "finetune"],
+                    help="finetune: per-block fine-tuned COPIES of the "
+                         "trained global table instead of additive "
+                         "residuals (the structurally different focal "
+                         "design, VERDICT r4 ask 4; fields/field.py "
+                         "focal_mode)")
+    ap.add_argument("--trust-mult", type=float, default=None,
+                    help="L2 trust-region pull of the fine-tuned table "
+                         "toward the global anchor (finetune mode)")
     ap.add_argument("--n-train", type=int, default=None,
                     help="scene scale-up: number of training cameras "
                          "(default 72)")
@@ -272,6 +282,10 @@ def main():
         p.model.remat_chunks = args.remat_chunks
     if args.hash_layout is not None:
         p.field_hash_layout = args.hash_layout
+    if args.focal_mode is not None:
+        p.field_focal_mode = args.focal_mode
+    if args.trust_mult is not None:
+        p.model.finetune_trust_mult = args.trust_mult
     if args.rays_per_batch is not None:
         p.datamanager.train_num_rays_per_batch = args.rays_per_batch
     if args.max_depth is not None:

@@ -231,3 +231,102 @@ def test_dense_levels_collision_free_and_grad_consistent():
     denom = float(jnp.abs(g_raw).max()) + 1e-9
     rel = float(jnp.abs(g_raw - g_vjp).max()) / denom
     assert rel < 0.02, rel
+
+
+# ------------------------------------------- finetune focal mode (r5) ----
+
+def test_finetune_mode_copy_equals_init_density():
+    """focal_mode=finetune: with block tables seeded from the global table,
+    focal-stage density is bit-equal to init-stage density (the copy is the
+    same table through the same hash function)."""
+    import jax.numpy as jnp
+
+    from gfnerf_tpu.fields.field import (STAGE_BLOCK, STAGE_INIT,
+                                         FieldConfig, field_density,
+                                         field_density_routed,
+                                         init_field_params)
+
+    cfg = FieldConfig(num_images=4, n_volumes=3, num_levels=4,
+                      features_per_level=4, hash_layout="packed",
+                      packed_rows_log2=8, n_blocks=2, hidden_dim=32,
+                      hidden_dim_color=32, focal_mode="finetune")
+    params, statics = init_field_params(cfg, seed=0)
+    # the transition copy (pipeline.after_train_iteration)
+    params = params.replace(block_feats=jnp.broadcast_to(
+        params.global_feat[None], params.block_feats.shape))
+
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-1.4, 1.4, (64, 3)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, 3, (64,)), jnp.int32)
+
+    d_init, g_init = field_density(params, statics, cfg, pts, anc,
+                                   STAGE_INIT)
+    for b in range(2):
+        d_b, g_b = field_density(params, statics, cfg, pts, anc,
+                                 STAGE_BLOCK, b)
+        np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_init))
+        np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_init))
+
+    # routed eval agrees too (mixed per-point blocks)
+    blk = jnp.asarray(rng.integers(0, 2, (64,)), jnp.int32)
+    d_r, g_r = field_density_routed(params, statics, cfg, pts, anc, blk)
+    np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_init))
+
+    # diverging one block's copy moves that block only
+    bumped = params.replace(
+        block_feats=params.block_feats.at[1].add(0.25))
+    d_b0, _ = field_density(bumped, statics, cfg, pts, anc, STAGE_BLOCK, 0)
+    d_b1, _ = field_density(bumped, statics, cfg, pts, anc, STAGE_BLOCK, 1)
+    np.testing.assert_array_equal(np.asarray(d_b0), np.asarray(d_init))
+    assert np.abs(np.asarray(d_b1) - np.asarray(d_init)).max() > 1e-4
+
+
+def test_finetune_trainer_transition_and_trust_loss(tmp_path):
+    """Full trainer with field_focal_mode=finetune: at the transition the
+    block tables become copies of the trained global; focal steps then
+    fine-tune them away from it; trust_loss shows in the metrics."""
+    from gfnerf_tpu.configs.method_configs import gf_nerf_tiny_config
+    from gfnerf_tpu.data.dataparsers.minimal_parser import (
+        MinimalDataParser, MinimalDataParserConfig)
+    from gfnerf_tpu.engine.trainer import Trainer
+    from gfnerf_tpu.utils.synthetic import make_synthetic_npz
+
+    path = tmp_path / "scene"
+    make_synthetic_npz(path, n_train=12, n_val=2, img_wh=(32, 24))
+    cfg = gf_nerf_tiny_config()
+    cfg.max_num_iterations = 16
+    cfg.output_dir = tmp_path / "out"
+    cfg.vis = "local"
+    cfg.data = path
+    cfg.steps_per_save = 10 ** 9
+    cfg.steps_per_eval_batch = 10 ** 9
+    cfg.pipeline.datamanager.train_num_rays_per_batch = 128
+    cfg.pipeline.model.s3im_patch_height = 8
+    cfg.pipeline.field_focal_mode = "finetune"
+    cfg.pipeline.model.finetune_trust_mult = 1.0
+
+    parser = MinimalDataParser(MinimalDataParserConfig(data=path))
+    trainer = Trainer(cfg, parser)
+    trainer.setup()
+    p = trainer.pipeline
+    assert p.field_cfg.focal_mode == "finetune"
+    # finetune tables share the global hash function
+    np.testing.assert_array_equal(
+        np.asarray(p.statics.block_prims[0]),
+        np.asarray(p.statics.global_prim))
+    trainer.train()
+
+    g = np.asarray(p.state.params.global_feat)
+    bf = np.asarray(p.state.params.block_feats)
+    # the active block fine-tuned AWAY from the copy; at tiny scale at
+    # least one block trained (split 0 and 1 both activate in 6 steps)
+    assert any(np.abs(bf[b] - g).max() > 0 for b in range(2))
+    # but stayed in the trust region's neighborhood (sanity: finite, and
+    # not wildly far given 6 low-lr steps)
+    assert np.isfinite(bf).all()
+    m = p.get_train_loss_dict(15)
+    p.after_train_iteration(15)
+    assert "trust_loss" in m and np.isfinite(m["trust_loss"])
+    # eval still works end-to-end
+    metrics, _ = p.get_eval_image_metrics_and_images(step=16, idx=0)
+    assert np.isfinite(metrics["psnr"])
