@@ -45,10 +45,13 @@ class TrainControl:
     step readout) without the websocket bridge.
     """
 
+    HISTORY_LEN = 240   # metric samples kept for the client's sparklines
+
     def __init__(self):
         self.paused = False
         self.stop = False          # stop + save at the next step boundary
         self.status: dict = {}     # latest published train metrics
+        self.history: list = []    # bounded [(step, {metric: val})] trail
         self._lock = threading.Lock()
 
     def publish(self, **metrics):
@@ -60,11 +63,17 @@ class TrainControl:
                 clean[k] = str(v)
         with self._lock:
             self.status.update(clean)
+            if "step" in clean:
+                self.history.append(clean)
+                del self.history[:-self.HISTORY_LEN]
 
-    def snapshot(self) -> dict:
+    def snapshot(self, with_history: bool = False) -> dict:
         with self._lock:
-            return {**self.status, "paused": self.paused,
-                    "stopping": self.stop}
+            doc = {**self.status, "paused": self.paused,
+                   "stopping": self.stop}
+            if with_history:
+                doc["history"] = list(self.history)
+            return doc
 
     def wait_if_paused(self, poll_s: float = 0.2):
         while self.paused and not self.stop:
@@ -89,9 +98,14 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="clearKeyframes()">clear</button>
 <button onclick="exportPath()">export camera_path.json</button>
 <button onclick="toggleSide()">panel</button>
+<select id="outsel" onchange="render(2)"><option>rgb</option>
+<option>depth</option><option>accumulation</option></select>
+<label><input type="checkbox" id="showcams" onchange="render(2)">cams</label>
 <div id="train" style="display:none">train: <span id="stats"></span>
 <button id="pauseBtn" onclick="control('pause')">pause</button>
-<button onclick="control('stop')">stop + save</button></div></div>
+<button onclick="control('stop')">stop + save</button>
+<canvas id="spark" width="220" height="54"
+ style="display:block;background:#000;margin-top:4px"></canvas></div></div>
 <div id="side" style="display:none">
 <h4>scene</h4><div id="octstats"></div>
 <div id="camlist"></div>
@@ -122,16 +136,54 @@ async function render(scale) {
   if (busy) { dirty = true; return; }
   busy = true;
   const res = await fetch('/render', {method:'POST', body: JSON.stringify(
-      {c2w: pose(), width: c.width, height: c.height, downscale: scale})});
+      {c2w: pose(), width: c.width, height: c.height, downscale: scale,
+       output: document.getElementById('outsel').value})});
   const blob = await res.blob();
   const img = await createImageBitmap(blob);
   ctx.imageSmoothingEnabled = false;
   ctx.drawImage(img, 0, 0, c.width, c.height);
+  drawCameras();
   busy = false;
   if (dirty) { dirty = false; render(4); }
   else if (scale > 1) {
     clearTimeout(hiresTimer);
     hiresTimer = setTimeout(() => render(1), 300);
+  }
+}
+let sceneCams = null;
+const CLUSTER_COLORS = ['#e6194b','#3cb44b','#ffe119','#4363d8','#f58231',
+  '#911eb4','#46f0f0','#f032e6','#bcf60c','#fabebe'];
+async function drawCameras() {
+  // project train-camera positions + view ticks into the current view —
+  // the 2D form of the reference client's camera frustum objects
+  if (!document.getElementById('showcams').checked) return;
+  if (!sceneCams) {
+    const sc = await (await fetch('/scene')).json();
+    sceneCams = sc.cameras || [];
+  }
+  const p = pose();                       // c2w of the current view
+  const eye = [p[0][3], p[1][3], p[2][3]];
+  // world->cam: rows of R^T, t = -R^T eye
+  const focal = c.height / 2 / Math.tan(Math.PI / 6);  // fov 60 (server)
+  const proj = w => {
+    const d = [w[0]-eye[0], w[1]-eye[1], w[2]-eye[2]];
+    const x = p[0][0]*d[0]+p[1][0]*d[1]+p[2][0]*d[2];
+    const y = p[0][1]*d[0]+p[1][1]*d[1]+p[2][1]*d[2];
+    const z = p[0][2]*d[0]+p[1][2]*d[1]+p[2][2]*d[2];
+    if (z > -1e-3) return null;           // behind the view (-z forward)
+    return [c.width/2 + focal*x/(-z), c.height/2 - focal*y/(-z)];
+  };
+  for (const cam of sceneCams) {
+    const o = [cam.c2w[0][3], cam.c2w[1][3], cam.c2w[2][3]];
+    const f = [-cam.c2w[0][2], -cam.c2w[1][2], -cam.c2w[2][2]];
+    const s = proj(o);
+    if (!s) continue;
+    const tip = proj([o[0]+f[0]*0.4, o[1]+f[1]*0.4, o[2]+f[2]*0.4]);
+    ctx.strokeStyle = ctx.fillStyle = cam.cluster === null ? '#0f0'
+        : CLUSTER_COLORS[cam.cluster % CLUSTER_COLORS.length];
+    ctx.beginPath(); ctx.arc(s[0], s[1], 3, 0, 2*Math.PI); ctx.fill();
+    if (tip) { ctx.beginPath(); ctx.moveTo(s[0], s[1]);
+               ctx.lineTo(tip[0], tip[1]); ctx.stroke(); }
   }
 }
 let drag=null;
@@ -219,9 +271,31 @@ async function control(action) {
   await fetch('/control', {method:'POST', body: JSON.stringify({action})});
   pollStatus();
 }
+function drawSpark(hist) {
+  // loss (amber) + rays/s (teal) sparklines over the retained history —
+  // the reference client's training charts, one small canvas
+  const sc = document.getElementById('spark'), g = sc.getContext('2d');
+  g.clearRect(0, 0, sc.width, sc.height);
+  const series = [['loss', '#fb5', 0], ['rays_per_sec', '#5df', 27]];
+  for (const [key, color, y0] of series) {
+    const v = hist.map(h => h[key]).filter(x => typeof x === 'number');
+    if (v.length < 2) continue;
+    const lo = Math.min(...v), hi = Math.max(...v), rng = hi - lo || 1;
+    g.strokeStyle = color; g.beginPath();
+    v.forEach((x, i) => {
+      const px = i / (v.length - 1) * (sc.width - 34);
+      const py = y0 + 24 - (x - lo) / rng * 22;
+      i ? g.lineTo(px, py) : g.moveTo(px, py);
+    });
+    g.stroke();
+    g.fillStyle = color; g.font = '9px monospace';
+    g.fillText(key === 'loss' ? v[v.length-1].toFixed(3)
+               : Math.round(v[v.length-1]), sc.width - 33, y0 + 12);
+  }
+}
 async function pollStatus() {
   try {
-    const res = await fetch('/status');
+    const res = await fetch('/status?history=1');
     const s = await res.json();
     if (!s.training) return;
     document.getElementById('train').style.display = 'inline';
@@ -235,6 +309,7 @@ async function pollStatus() {
     if ('rays_per_sec' in s) parts.push(Math.round(s.rays_per_sec) + ' rays/s');
     if (s.stopping) parts.push('(stopping)');
     document.getElementById('stats').textContent = parts.join(' | ');
+    if (s.history) drawSpark(s.history);
   } catch (e) {}
 }
 setInterval(pollStatus, 2000);
@@ -342,10 +417,10 @@ class ViewerServer:
         self.control = control
         self._lock = threading.Lock()
 
-    def _status(self) -> bytes:
+    def _status(self, with_history: bool = False) -> bytes:
         doc = {"training": self.control is not None}
         if self.control is not None:
-            doc.update(self.control.snapshot())
+            doc.update(self.control.snapshot(with_history=with_history))
         return json.dumps(doc).encode()
 
     def _control(self, req: dict) -> bytes:
@@ -456,7 +531,21 @@ class ViewerServer:
         )
         with self._lock:
             out = self.pipeline.render_camera(cams, 0, step=0, downscale=down)
-        rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        # Output selector (reference viewer's "output render" dropdown,
+        # viewer_new ConfigPanel): rgb | depth | accumulation, colormapped
+        # server-side exactly like trainer.eval_iteration's eval images.
+        which = req.get("output", "rgb")
+        if which == "depth" and "depth" in out:
+            from gfnerf_tpu.utils.colormaps import apply_depth_colormap
+
+            img = apply_depth_colormap(out["depth"], out.get("accumulation"))
+        elif which == "accumulation" and "accumulation" in out:
+            from gfnerf_tpu.utils.colormaps import apply_colormap
+
+            img = apply_colormap(out["accumulation"])
+        else:
+            img = out["rgb"]
+        rgb = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         imageio.imwrite(buf, rgb, format="png")
         return buf.getvalue()
@@ -470,9 +559,10 @@ class ViewerServer:
                 pass
 
             def do_GET(self):
-                if self.path in ("/status", "/scene"):
-                    body = (viewer._status() if self.path == "/status"
-                            else viewer._scene())
+                if self.path in ("/status", "/status?history=1", "/scene"):
+                    body = (viewer._scene() if self.path == "/scene"
+                            else viewer._status(
+                                with_history="history" in self.path))
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()

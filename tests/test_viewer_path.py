@@ -184,3 +184,42 @@ def test_scene_and_export_endpoints():
             assert "--resolution" in r["command"]
     bad = json.loads(server._export_cmd({"mode": "nope"}))
     assert not bad["ok"]
+
+
+def test_status_history_and_render_output_selector():
+    """r5 client features: bounded metric history for the sparklines, and
+    the /render output selector (rgb | depth | accumulation) colormapped
+    like trainer.eval_iteration's eval images."""
+    import json
+
+    from gfnerf_tpu.viewer.server import TrainControl, ViewerServer
+
+    ctl = TrainControl()
+    for i in range(TrainControl.HISTORY_LEN + 40):
+        ctl.publish(step=i, loss=1.0 / (i + 1), rays_per_sec=100.0 + i)
+    snap = ctl.snapshot(with_history=True)
+    assert len(snap["history"]) == TrainControl.HISTORY_LEN
+    assert snap["history"][-1]["step"] == TrainControl.HISTORY_LEN + 39
+    # plain snapshot stays light
+    assert "history" not in ctl.snapshot()
+
+    class StubPipeline:
+        def render_camera(self, cams, idx, step, downscale=1, **kw):
+            h, w = 8, 12
+            return {"rgb": np.full((h, w, 3), 0.5, np.float32),
+                    "depth": np.linspace(0, 1, h * w, dtype=np.float32)
+                        .reshape(h, w, 1),
+                    "accumulation": np.ones((h, w, 1), np.float32)}
+
+    server = ViewerServer(pipeline=StubPipeline(), port=0, control=ctl)
+    body = server._status(with_history=True)
+    assert len(json.loads(body)["history"]) == TrainControl.HISTORY_LEN
+
+    req = {"c2w": np.eye(4)[:3].tolist(), "width": 12, "height": 8}
+    pngs = {}
+    for out in ("rgb", "depth", "accumulation"):
+        png = server._render({**req, "output": out})
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        pngs[out] = png
+    # depth colormap differs from the flat rgb render
+    assert pngs["depth"] != pngs["rgb"]
