@@ -173,6 +173,9 @@ def main():
     ap.add_argument("--trust-mult", type=float, default=None,
                     help="L2 trust-region pull of the fine-tuned table "
                          "toward the global anchor (finetune mode)")
+    ap.add_argument("--n-blocks", type=int, default=2,
+                    help="focal blocks / dataset splits (reference default "
+                         "10, gfnerf/config.py:43; CPU-scale runs keep 2)")
     ap.add_argument("--n-train", type=int, default=None,
                     help="scene scale-up: number of training cameras "
                          "(default 72)")
@@ -246,7 +249,7 @@ def main():
         p.model.samples_budget_per_ray = 512
         p.sampler.max_samples = 512
         p.datamanager.train_num_rays_per_batch = 2048
-    n_blocks = 2
+    n_blocks = args.n_blocks
     p.model.n_blocks = n_blocks
     p.model.n_split_dataset = n_blocks
     p.model.steps_perssampler_init = init_steps
