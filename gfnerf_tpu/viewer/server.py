@@ -96,7 +96,10 @@ canvas{display:block;margin:auto;cursor:grab}
 K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="addKeyframe()">add keyframe</button>
 <button onclick="clearKeyframes()">clear</button>
+<button onclick="previewPath()">preview</button>
 <button onclick="exportPath()">export camera_path.json</button>
+<select id="ressel" onchange="setRes()"><option>640x480</option>
+<option>960x720</option><option>320x240</option></select>
 <button onclick="toggleSide()">panel</button>
 <select id="outsel" onchange="render(2)"><option>rgb</option>
 <option>depth</option><option>accumulation</option></select>
@@ -109,6 +112,7 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <div id="side" style="display:none">
 <h4>scene</h4><div id="octstats"></div>
 <div id="camlist"></div>
+<h4>keyframes</h4><div id="kflist"></div>
 <h4>export</h4>
 <select id="expmode"><option>pointcloud</option><option>mesh</option>
 <option>tsdf</option><option>textured</option><option>poses</option></select>
@@ -198,14 +202,59 @@ window.onmousemove = e => {
   render(4);
 };
 c.onwheel = e => { e.preventDefault(); radius *= Math.exp(e.deltaY*0.001); render(4); };
+function setRes() {
+  const [w, h] = document.getElementById('ressel').value.split('x');
+  c.width = +w; c.height = +h; render(2);
+}
 const keyframes = [];
+function kfStates() {  // orbit state per keyframe so jump is exact
+  return {az, el, radius, target: target.slice()};
+}
+const kfOrbit = [];
+function refreshKf() {
+  document.getElementById('nkf').textContent = keyframes.length + ' keyframes';
+  const list = document.getElementById('kflist');
+  if (!list) return;
+  list.innerHTML = '';
+  keyframes.forEach((kf, i) => {
+    const d = document.createElement('div');
+    d.textContent = 'kf ' + i;
+    d.onclick = () => { const o = kfOrbit[i]; az=o.az; el=o.el;
+      radius=o.radius; target=o.target.slice(); render(2); };
+    const x = document.createElement('span');
+    x.textContent = ' ×'; x.style.color = '#f66';
+    x.onclick = ev => { ev.stopPropagation(); keyframes.splice(i, 1);
+      kfOrbit.splice(i, 1); refreshKf(); };
+    d.appendChild(x);
+    list.appendChild(d);
+  });
+}
 function addKeyframe() {
   keyframes.push(pose());
-  document.getElementById('nkf').textContent = keyframes.length + ' keyframes';
+  kfOrbit.push(kfStates());
+  refreshKf();
 }
 function clearKeyframes() {
-  keyframes.length = 0;
-  document.getElementById('nkf').textContent = '0 keyframes';
+  keyframes.length = 0; kfOrbit.length = 0;
+  refreshKf();
+}
+async function previewPath() {
+  // client-side fly-through of the captured path: slerp between orbit
+  // states at low res (the camera-path editor's preview, sans three.js)
+  if (kfOrbit.length < 2) { alert('need >= 2 keyframes'); return; }
+  const save = kfStates();
+  for (let i = 0; i + 1 < kfOrbit.length; i++) {
+    for (let t = 0; t < 1; t += 0.2) {
+      const a = kfOrbit[i], b = kfOrbit[i + 1];
+      az = a.az + (b.az - a.az) * t; el = a.el + (b.el - a.el) * t;
+      radius = a.radius + (b.radius - a.radius) * t;
+      target = a.target.map((v, k) => v + (b.target[k] - v) * t);
+      while (busy) await new Promise(r => setTimeout(r, 30));
+      await render(8);
+    }
+  }
+  az=save.az; el=save.el; radius=save.radius; target=save.target.slice();
+  render(2);
 }
 async function exportPath() {
   if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
