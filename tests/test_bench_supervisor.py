@@ -103,3 +103,30 @@ def test_stale_relay_pid_parser_skips_self():
     import os
 
     assert os.getpid() not in pids
+
+
+def test_bench_calibration_single_compile_path():
+    """bench._calibrate_sample_l after the r5 rewrite: trial sample_l rides
+    the traced fineness (one compiled program), and the result still fills
+    the budget to ~the target fraction on a real tiny octree."""
+    import numpy as np
+
+    import bench
+    from gfnerf_tpu.sampler.octree import build_octree
+    from gfnerf_tpu.sampler.perssampler import octree_to_device
+    from gfnerf_tpu.utils.synthetic import ring_cameras
+
+    n, w, h = 8, 32, 24
+    c2w, fx, fy, cx, cy, w, h = ring_cameras(n, img_wh=(w, h))
+    intri = np.zeros((n, 3, 3), np.float32)
+    intri[:, 0, 0] = fx; intri[:, 1, 1] = fy
+    intri[:, 0, 2] = cx; intri[:, 1, 2] = cy; intri[:, 2, 2] = 1
+    bounds = np.tile(np.array([[0.01, 50.0]], np.float32), (n, 1))
+    tree = build_octree(c2w, intri, bounds, max_depth=5, bbox_levels=3,
+                        n_rand_pts=512, vis_res_w=16, seed=0)
+    oct_dev = octree_to_device(tree, capacity=4096)
+
+    S = 64
+    sample_l = bench._calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy,
+                                         w, h, S, n_rays=64)
+    assert np.isfinite(sample_l) and sample_l >= 1.0 / 256
