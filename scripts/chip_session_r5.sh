@@ -98,6 +98,14 @@ run_job q_r5_scale_finetune 21600 results/q_r5_scale_finetune.json \
   --rows-log2 8 --block-lr 3e-4 --focal-mode finetune --trust-mult 10.0 \
   --diag --out results/q_r5_scale_finetune.json
 
+# render-FPS north-star measurement (<1 s / 1080p frame): quality + prop
+run_job render_r5_quality 3600 results/render_r5_quality.json \
+  python scripts/render_bench.py --config quality \
+  --out results/render_r5_quality.json
+run_job render_r5_prop 3600 results/render_r5_prop.json \
+  python scripts/render_bench.py --config prop \
+  --out results/render_r5_prop.json
+
 # bench for the record (always rerun last: cheap, leaves a fresh number)
 run_job bench_r5_final 2000 /dev/null python bench.py
 
