@@ -72,6 +72,47 @@ def _stale_relay_pids() -> list[int]:
     return sorted(pids)
 
 
+def _last_chip_result(results_dir: "Path | None" = None) -> "dict | None":
+    """Most recent on-chip bench JSON from results/*.log, if any.
+
+    When the externally-managed relay tunnel is down at measurement time,
+    the CPU fallback attaches this as context: the newest
+    `train_rays_per_sec_per_chip` line with the plain "rays/s" unit (i.e.
+    NOT itself a cpu-fallback line) found in the logs, so the recorded
+    round artifact still points at the round's real chip number.
+    """
+    if results_dir is None:
+        results_dir = Path(__file__).resolve().parent / "results"
+    best: "tuple[float, dict, str] | None" = None
+    try:
+        logs = sorted(results_dir.glob("*.log"))
+    except OSError:
+        return None
+    for log in logs:
+        try:
+            if log.stat().st_size > 1 << 20:
+                continue
+            text = log.read_text(errors="replace")
+        except OSError:
+            continue
+        for line in text.splitlines():
+            if not line.startswith("{") or "rays_per_sec_per_chip" not in line:
+                continue
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if (doc.get("metric") == "train_rays_per_sec_per_chip"
+                    and doc.get("unit") == "rays/s"):
+                mtime = log.stat().st_mtime
+                if best is None or mtime > best[0]:
+                    best = (mtime, doc, log.name)
+    if best is None:
+        return None
+    return {"value": best[1]["value"], "vs_baseline": best[1]["vs_baseline"],
+            "source_log": best[2]}
+
+
 def _kill_group(pid: int) -> None:
     for sig in (signal.SIGTERM, signal.SIGKILL):
         try:
@@ -442,15 +483,21 @@ def main(argv=None):
     suffix = "" if (args.stage, args.config) == ("init", "quality") else (
         f"_{args.stage}_{args.config}")
     unit = "rays/s"
-    if args.cpu_fallback:
-        unit = "rays/s (cpu-fallback: tpu relay unreachable)"
-    print(json.dumps({
+    doc = {
         "metric": "train_rays_per_sec_per_chip" + suffix,
         "value": round(rays_per_sec, 1),
         "unit": unit,
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC_PER_CHIP,
                              4),
-    }))
+    }
+    if args.cpu_fallback:
+        doc["unit"] = "rays/s (cpu-fallback: tpu relay unreachable)"
+        chip = _last_chip_result()
+        if chip is not None:
+            # The round's real chip number (captured while the relay was
+            # up); the fallback value above is NOT comparable to it.
+            doc["last_chip_measurement"] = chip
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -130,3 +130,41 @@ def test_bench_calibration_single_compile_path():
     sample_l = bench._calibrate_sample_l(tree, oct_dev, c2w, fx, fy, cx, cy,
                                          w, h, S, n_rays=64)
     assert np.isfinite(sample_l) and sample_l >= 1.0 / 256
+
+
+def test_last_chip_result_picks_newest_real_chip_line(tmp_path):
+    """The CPU fallback's context field: newest plain-"rays/s" chip JSON
+    wins; cpu-fallback lines and non-bench JSON are ignored."""
+    import json
+    import os
+
+    import bench
+
+    old = tmp_path / "bench_old.log"
+    old.write_text(json.dumps({
+        "metric": "train_rays_per_sec_per_chip", "value": 100.0,
+        "unit": "rays/s", "vs_baseline": 0.001}) + "\n")
+    new = tmp_path / "bench_new.log"
+    new.write_text(
+        "noise line\n" + json.dumps({
+            "metric": "train_rays_per_sec_per_chip", "value": 9000.0,
+            "unit": "rays/s", "vs_baseline": 0.072}) + "\n")
+    fb = tmp_path / "bench_fallback.log"
+    fb.write_text(json.dumps({
+        "metric": "train_rays_per_sec_per_chip", "value": 50.0,
+        "unit": "rays/s (cpu-fallback: tpu relay unreachable)",
+        "vs_baseline": 0.0004}) + "\n")
+    now = 1_700_000_000
+    os.utime(old, (now - 100, now - 100))
+    os.utime(new, (now, now))
+    os.utime(fb, (now + 50, now + 50))
+
+    r = bench._last_chip_result(tmp_path)
+    assert r == {"value": 9000.0, "vs_baseline": 0.072,
+                 "source_log": "bench_new.log"}
+
+
+def test_last_chip_result_empty_dir(tmp_path):
+    import bench
+
+    assert bench._last_chip_result(tmp_path) is None
