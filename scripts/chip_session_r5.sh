@@ -1,10 +1,16 @@
 #!/bin/bash
 # Round-5 chip queue, unattended (docs/TPU_RUNBOOK_R5.md).
 #
-# Runs the remaining experiments in information-value order with per-job
-# timeouts, ONE job at a time, logging to results/.  Safe to re-run: each
-# job is skipped if its output JSON already exists.  Launch:
-#   nohup bash scripts/chip_session_r5.sh > results/chip_session_r5.log 2>&1 &
+# Runs the remaining experiments ONE at a time with per-job timeouts,
+# logging to results/.  Safe to re-run: each job is skipped if its output
+# file already exists and is non-empty.  Launch:
+#   setsid nohup bash scripts/chip_session_r5.sh \
+#     > results/chip_session_r5.log 2>&1 < /dev/null &
+#
+# Ordering rationale (2026-08-19 rewrite): relay windows this round have
+# been short (~35 min), so jobs are ordered by information-per-minute —
+# all ~15-min profiles and benches first (encode wall, prop headline,
+# render north star), multi-hour quality/midscale/scale arms after.
 #
 # Protocol (PERF_NOTES.md): PYTHONPATH includes .axon_site, JAX_PLATFORMS
 # unset, no pytest while this runs, never pattern-kill.
@@ -40,47 +46,61 @@ run_job() {  # name timeout_s outfile cmd...
 
 wait_for_relay
 
-# 2. encode-wall measurement (7-lerp rewrite vs r3's 347 ms)
+# --- tier 1: ~15-min measurements, highest info density ---------------
+
+# encode-wall measurement (7-lerp rewrite vs r3's 347 ms) — runbook item 2
 run_job profile_r5_quality 2400 results/profile_r5_quality.json \
   python scripts/profile_step.py --config quality \
   --out results/profile_r5_quality.json
 
-# 3. perf config profile (K-dispatch flagship shape)
+# perf config profile (K-dispatch flagship shape) — item 3
 run_job profile_r5_perf 2400 results/profile_r5_perf.json \
   python scripts/profile_step.py --config perf \
   --out results/profile_r5_perf.json
 
-# 3b. proposal-path profile
+# proposal-path profile — item 3b
 run_job profile_r5_prop 2400 results/profile_r5_prop.json \
   python scripts/profile_step.py --config prop \
   --out results/profile_r5_prop.json
 
-# 4. proposal quality (if >= dense-384 quality, prop becomes the flagship)
+# proposal-path headline bench (the 6x-fewer-field-points multiplier):
+# captured unconditionally; flagship promotion waits on quality_prop_r5
+run_job bench_r5_prop 2000 results/bench_r5_prop.done \
+  bash -c "python bench.py --config prop && echo done > results/bench_r5_prop.done"
+
+# focal-stage bench at the quality config (100k of the reference's 130k
+# steps run in this stage — its rate matters as much as init's)
+run_job bench_r5_focal 2000 results/bench_r5_focal.done \
+  bash -c "python bench.py --stage focal && echo done > results/bench_r5_focal.done"
+
+# render-FPS north star (<1 s / 1080p frame): quality + prop
+run_job render_r5_quality 3600 results/render_r5_quality.json \
+  python scripts/render_bench.py --config quality \
+  --out results/render_r5_quality.json
+run_job render_r5_prop 3600 results/render_r5_prop.json \
+  python scripts/render_bench.py --config prop \
+  --out results/render_r5_prop.json
+
+# --- tier 2: multi-hour arms, ordered by VERDICT ask priority ----------
+
+# proposal quality (ask 2: if >= dense-384 quality, prop becomes flagship)
 run_job quality_prop_r5 10800 results/quality_prop_r5.json \
   python scripts/quality_run.py --config prop --scene-variant smooth \
   --out results/quality_prop_r5.json
 
-# 7. packed-vs-anchored delta at the full CPU-run scale, on chip
-run_job q_r5_packed 7200 results/q_r5_packed.json \
-  python scripts/quality_run.py --config perf --scene-variant smooth \
-  --out results/q_r5_packed.json
-run_job q_r5_anchored 7200 results/q_r5_anchored.json \
-  python scripts/quality_run.py --config perf --scene-variant smooth \
-  --hash-layout anchored --out results/q_r5_anchored.json
-
-# 6. mid-scale e2e: train -> kill mid-focal -> resume -> eval
+# mid-scale e2e: train -> kill mid-focal -> resume -> eval (ask 3);
+# also reports the K=8 dispatch coverage fraction (ask 7)
 if [ ! -s results/midscale/summary.json ]; then
   run_job midscale_r5 10800 results/midscale/summary.json \
     python scripts/midscale_run.py
 fi
 
-# 5+8. focal at capacity-bound scale (the paper's headline question):
+# focal at capacity-bound scale (ask 4 — the paper's headline question):
 # 300 cams, 512x384, deep tree, capacity-starved global, fixes on; one
-# residual arm and one finetune arm sharing the init checkpoint.
-# residual arm: capacity-starved global (2^8) + full residuals (2^15),
-# 4 blocks, all three finding-7 fixes on. finetune arm: same global, the
-# per-block tables are COPIES (capacity redistribution: each 2^8 copy
-# covers 1/4 of the scene — the reference's own equal-table mechanism,
+# residual arm and one finetune arm. residual arm: capacity-starved
+# global (2^8) + full residuals (2^15), 4 blocks, all three finding-7
+# fixes on. finetune arm: same global, per-block tables are COPIES
+# (capacity redistribution — the reference's own equal-table mechanism,
 # gfnerf/config.py:119-127); no shared init-ckpt because the two modes
 # store different block_prims in statics.
 run_job q_r5_scale_residual 21600 results/q_r5_scale_residual.json \
@@ -98,13 +118,14 @@ run_job q_r5_scale_finetune 21600 results/q_r5_scale_finetune.json \
   --rows-log2 8 --block-lr 3e-4 --focal-mode finetune --trust-mult 10.0 \
   --diag --out results/q_r5_scale_finetune.json
 
-# render-FPS north-star measurement (<1 s / 1080p frame): quality + prop
-run_job render_r5_quality 3600 results/render_r5_quality.json \
-  python scripts/render_bench.py --config quality \
-  --out results/render_r5_quality.json
-run_job render_r5_prop 3600 results/render_r5_prop.json \
-  python scripts/render_bench.py --config prop \
-  --out results/render_r5_prop.json
+# packed-vs-anchored on chip at full quality_run scale (ask 6; the
+# CPU-scale delta is covered by results/q_r5_{packed,anchored}_cpu.json)
+run_job q_r5_packed 7200 results/q_r5_packed.json \
+  python scripts/quality_run.py --config perf --scene-variant smooth \
+  --out results/q_r5_packed.json
+run_job q_r5_anchored 7200 results/q_r5_anchored.json \
+  python scripts/quality_run.py --config perf --scene-variant smooth \
+  --hash-layout anchored --out results/q_r5_anchored.json
 
 # bench for the record (always rerun last: cheap, leaves a fresh number)
 run_job bench_r5_final 2000 /dev/null python bench.py
