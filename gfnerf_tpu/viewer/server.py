@@ -98,12 +98,20 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="clearKeyframes()">clear</button>
 <button onclick="previewPath()">preview</button>
 <button onclick="exportPath()">export camera_path.json</button>
+<label><input type="checkbox" id="smoothchk">smooth</label>
+<label><input type="checkbox" id="loopchk">loop</label>
 <select id="ressel" onchange="setRes()"><option>640x480</option>
 <option>960x720</option><option>320x240</option></select>
 <button onclick="toggleSide()">panel</button>
 <select id="outsel" onchange="render(2)"><option>rgb</option>
 <option>depth</option><option>accumulation</option></select>
-<label><input type="checkbox" id="showcams" onchange="render(2)">cams</label>
+<label><input type="checkbox" id="splitchk" onchange="render(2)">split</label>
+<select id="outsel2" onchange="render(2)"><option>depth</option>
+<option>rgb</option><option>accumulation</option></select>
+<input type="range" id="splitpos" min="5" max="95" value="50"
+ style="width:60px" oninput="render(2)">
+fov <input type="range" id="fovsel" min="20" max="120" value="60"
+ style="width:60px" onchange="fov=+this.value; render(2)">
 <div id="train" style="display:none">train: <span id="stats"></span>
 <button id="pauseBtn" onclick="control('pause')">pause</button>
 <button onclick="control('stop')">stop + save</button>
@@ -113,6 +121,10 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <h4>scene</h4><div id="octstats"></div>
 <div id="camlist"></div>
 <h4>keyframes</h4><div id="kflist"></div>
+<h4>display</h4>
+depth range <input id="cmapnear" size="4" placeholder="auto">
+&ndash; <input id="cmapfar" size="4" placeholder="auto">
+<button onclick="render(2)">apply</button>
 <h4>export</h4>
 <select id="expmode"><option>pointcloud</option><option>mesh</option>
 <option>tsdf</option><option>textured</option><option>poses</option></select>
@@ -123,7 +135,7 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <canvas id="c" width="640" height="480"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
-let az = 0.5, el = 0.4, radius = __RADIUS__, target = [0,0,0];
+let az = 0.5, el = 0.4, radius = __RADIUS__, target = [0,0,0], fov = 60;
 let busy = false, dirty = true, hiresTimer = null;
 function pose() {
   const ce=Math.cos(el), se=Math.sin(el), ca=Math.cos(az), sa=Math.sin(az);
@@ -136,16 +148,37 @@ function pose() {
   const u=[r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0]];
   return [[r[0],u[0],-f[0],eye[0]],[r[1],u[1],-f[1],eye[1]],[r[2],u[2],-f[2],eye[2]]];
 }
+function renderBody(scale, output) {
+  const body = {c2w: pose(), width: c.width, height: c.height,
+                downscale: scale, output: output, fov: fov};
+  const nr = document.getElementById('cmapnear').value,
+        fr = document.getElementById('cmapfar').value;
+  if (nr !== '') body.cmap_near = +nr;
+  if (fr !== '') body.cmap_far = +fr;
+  return JSON.stringify(body);
+}
+async function fetchImg(scale, output) {
+  const res = await fetch('/render', {method:'POST',
+      body: renderBody(scale, output)});
+  return createImageBitmap(await res.blob());
+}
 async function render(scale) {
   if (busy) { dirty = true; return; }
   busy = true;
-  const res = await fetch('/render', {method:'POST', body: JSON.stringify(
-      {c2w: pose(), width: c.width, height: c.height, downscale: scale,
-       output: document.getElementById('outsel').value})});
-  const blob = await res.blob();
-  const img = await createImageBitmap(blob);
+  const img = await fetchImg(scale, document.getElementById('outsel').value);
   ctx.imageSmoothingEnabled = false;
   ctx.drawImage(img, 0, 0, c.width, c.height);
+  if (document.getElementById('splitchk').checked) {
+    // split-screen output compare (the reference viewer's "split" render
+    // option): left = primary output, right = secondary, movable divider
+    const img2 = await fetchImg(scale,
+        document.getElementById('outsel2').value);
+    const sx = c.width * (+document.getElementById('splitpos').value) / 100;
+    ctx.save(); ctx.beginPath(); ctx.rect(sx, 0, c.width - sx, c.height);
+    ctx.clip(); ctx.drawImage(img2, 0, 0, c.width, c.height); ctx.restore();
+    ctx.strokeStyle = '#fff'; ctx.beginPath();
+    ctx.moveTo(sx, 0); ctx.lineTo(sx, c.height); ctx.stroke();
+  }
   drawCameras();
   busy = false;
   if (dirty) { dirty = false; render(4); }
@@ -168,7 +201,7 @@ async function drawCameras() {
   const p = pose();                       // c2w of the current view
   const eye = [p[0][3], p[1][3], p[2][3]];
   // world->cam: rows of R^T, t = -R^T eye
-  const focal = c.height / 2 / Math.tan(Math.PI / 6);  // fov 60 (server)
+  const focal = c.height / 2 / Math.tan(fov * Math.PI / 360);
   const proj = w => {
     const d = [w[0]-eye[0], w[1]-eye[1], w[2]-eye[2]];
     const x = p[0][0]*d[0]+p[1][0]*d[1]+p[2][0]*d[2];
@@ -208,7 +241,7 @@ function setRes() {
 }
 const keyframes = [];
 function kfStates() {  // orbit state per keyframe so jump is exact
-  return {az, el, radius, target: target.slice()};
+  return {az, el, radius, target: target.slice(), fov};
 }
 const kfOrbit = [];
 function refreshKf() {
@@ -218,9 +251,10 @@ function refreshKf() {
   list.innerHTML = '';
   keyframes.forEach((kf, i) => {
     const d = document.createElement('div');
-    d.textContent = 'kf ' + i;
+    d.textContent = 'kf ' + i + ' (fov ' + kfOrbit[i].fov + ')';
     d.onclick = () => { const o = kfOrbit[i]; az=o.az; el=o.el;
-      radius=o.radius; target=o.target.slice(); render(2); };
+      radius=o.radius; target=o.target.slice(); fov=o.fov;
+      document.getElementById('fovsel').value = fov; render(2); };
     const x = document.createElement('span');
     x.textContent = ' ×'; x.style.color = '#f66';
     x.onclick = ev => { ev.stopPropagation(); keyframes.splice(i, 1);
@@ -249,18 +283,23 @@ async function previewPath() {
       az = a.az + (b.az - a.az) * t; el = a.el + (b.el - a.el) * t;
       radius = a.radius + (b.radius - a.radius) * t;
       target = a.target.map((v, k) => v + (b.target[k] - v) * t);
+      fov = a.fov + (b.fov - a.fov) * t;
       while (busy) await new Promise(r => setTimeout(r, 30));
       await render(8);
     }
   }
   az=save.az; el=save.el; radius=save.radius; target=save.target.slice();
+  fov=save.fov;
   render(2);
 }
 async function exportPath() {
   if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
+  const loop = document.getElementById('loopchk').checked;
   const res = await fetch('/camera_path', {method:'POST', body: JSON.stringify(
     {keyframes: keyframes, width: c.width, height: c.height,
-     fps: 24, seconds: 2 * (keyframes.length - 1)})});
+     fovs: kfOrbit.map(o => o.fov),
+     smooth: document.getElementById('smoothchk').checked, loop: loop,
+     fps: 24, seconds: 2 * (keyframes.length - (loop ? 0 : 1))})});
   const blob = await res.blob();
   const a = document.createElement('a');
   a.href = URL.createObjectURL(blob);
@@ -407,30 +446,97 @@ def _slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def interpolate_keyframes(keyframes: np.ndarray, n_frames: int) -> np.ndarray:
-    """(K, 3, 4) keyframe poses -> (n_frames, 3, 4) slerp/lerp path."""
+def _catmull_rom(p0, p1, p2, p3, t: float):
+    """Centripetal-free (uniform) Catmull-Rom point at t in [0, 1] on the
+    segment p1 -> p2 — the reference camera-path editor's "smoothness"
+    spline (viewer_new camera-path keyframe interpolation)."""
+    t2, t3 = t * t, t * t * t
+    return 0.5 * ((2.0 * p1) + (-p0 + p2) * t
+                  + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t2
+                  + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t3)
+
+
+def _segment_params(n_frames: int, k: int, loop: bool):
+    """Per-frame (segment index, local t) for a K-keyframe path.
+
+    Non-loop paths span K-1 segments with both endpoints hit exactly;
+    loop paths span K segments (the last returns to keyframe 0) with the
+    final frame stopping just short of the wrap so playback tiles."""
+    segs = k if loop else k - 1
+    for f in range(n_frames):
+        u = (f / n_frames if loop else f / max(n_frames - 1, 1)) * segs
+        i = min(int(u), segs - 1)
+        yield i, u - i
+
+
+def interpolate_keyframes(keyframes: np.ndarray, n_frames: int,
+                          smooth: bool = False,
+                          loop: bool = False) -> np.ndarray:
+    """(K, 3, 4) keyframe poses -> (n_frames, 3, 4) path.
+
+    Rotations slerp between adjacent keyframes; positions lerp by default
+    or follow a Catmull-Rom spline through the keyframes when ``smooth``
+    (clamped ends for open paths, cyclic for ``loop``)."""
     k = len(keyframes)
     quats = [_quat_from_mat(m[:3, :3]) for m in keyframes]
+    pos = np.asarray([m[:3, 3] for m in keyframes], np.float64)
+
+    def at(i: int) -> int:
+        return i % k if loop else min(max(i, 0), k - 1)
+
     out = []
-    for f in range(n_frames):
-        u = f / max(n_frames - 1, 1) * (k - 1)
-        i = min(int(u), k - 2)
-        t = u - i
-        rot = _mat_from_quat(_slerp(quats[i], quats[i + 1], t))
-        pos = (1 - t) * keyframes[i][:3, 3] + t * keyframes[i + 1][:3, 3]
-        out.append(np.concatenate([rot, pos[:, None]], axis=-1))
+    for i, t in _segment_params(n_frames, k, loop):
+        j = at(i + 1)
+        rot = _mat_from_quat(_slerp(quats[i], quats[j], t))
+        if smooth and k >= 3:
+            p = _catmull_rom(pos[at(i - 1)], pos[i], pos[j], pos[at(i + 2)], t)
+        else:
+            p = (1 - t) * pos[i] + t * pos[j]
+        out.append(np.concatenate([rot, p[:, None]], axis=-1))
     return np.stack(out).astype(np.float32)
 
 
+def interpolate_scalars(values, n_frames: int, smooth: bool = False,
+                        loop: bool = False) -> np.ndarray:
+    """Per-keyframe scalars (e.g. fov) -> per-frame values, matching the
+    pose parameterization of :func:`interpolate_keyframes` frame-for-frame."""
+    v = np.asarray(values, np.float64)
+    k = len(v)
+
+    def at(i: int) -> int:
+        return i % k if loop else min(max(i, 0), k - 1)
+
+    out = []
+    for i, t in _segment_params(n_frames, k, loop):
+        j = at(i + 1)
+        if smooth and k >= 3:
+            out.append(_catmull_rom(v[at(i - 1)], v[i], v[j], v[at(i + 2)], t))
+        else:
+            out.append((1 - t) * v[i] + t * v[j])
+    return np.asarray(out, np.float32)
+
+
 def build_camera_path(keyframes, width, height, fov_deg, fps=24,
-                      seconds=None) -> dict:
+                      seconds=None, fovs=None, smooth=False,
+                      loop=False) -> dict:
     """nerfstudio-format camera_path.json dict (the schema consumed by
     scripts/render.py --traj filename and the reference's render script,
-    /root/reference/scripts/render.py:47-128)."""
+    /root/reference/scripts/render.py:47-128).
+
+    ``fovs``: optional per-keyframe fov list (the reference editor's
+    per-keyframe fov override); ``smooth``/``loop`` select Catmull-Rom
+    position interpolation and a closed path."""
     keyframes = np.asarray(keyframes, np.float32).reshape(-1, 3, 4)
-    seconds = seconds if seconds else 2.0 * (len(keyframes) - 1)
+    k = len(keyframes)
+    seconds = seconds if seconds else 2.0 * (k if loop else k - 1)
     n_frames = max(int(round(fps * seconds)), 2)
-    path = interpolate_keyframes(keyframes, n_frames)
+    path = interpolate_keyframes(keyframes, n_frames, smooth=smooth,
+                                 loop=loop)
+    if fovs is not None and len(fovs) == k:
+        frame_fovs = interpolate_scalars(fovs, n_frames, smooth=smooth,
+                                         loop=loop)
+    else:
+        frame_fovs = np.full((n_frames,), float(fov_deg), np.float32)
     bottom = np.broadcast_to(np.array([0, 0, 0, 1], np.float32),
                              (n_frames, 1, 4))
     c2w4 = np.concatenate([path, bottom], axis=1)
@@ -440,9 +546,11 @@ def build_camera_path(keyframes, width, height, fov_deg, fps=24,
         "render_width": int(width),
         "fps": float(fps),
         "seconds": float(seconds),
+        "smoothness_value": 1.0 if smooth else 0.0,
+        "is_cycle": bool(loop),
         "camera_path": [
             {"camera_to_world": c2w4[i].reshape(-1).tolist(),
-             "fov": float(fov_deg)}
+             "fov": float(frame_fovs[i])}
             for i in range(n_frames)
         ],
     }
@@ -554,7 +662,8 @@ class ViewerServer:
         doc = build_camera_path(
             req["keyframes"], req.get("width", 640), req.get("height", 480),
             self.fov_deg, fps=req.get("fps", 24),
-            seconds=req.get("seconds"))
+            seconds=req.get("seconds"), fovs=req.get("fovs"),
+            smooth=bool(req.get("smooth")), loop=bool(req.get("loop")))
         payload = json.dumps(doc, indent=2).encode()
         if self.save_dir is not None:
             self.save_dir.mkdir(parents=True, exist_ok=True)
@@ -570,7 +679,8 @@ class ViewerServer:
         w = int(req.get("width", 640))
         h = int(req.get("height", 480))
         down = int(req.get("downscale", 1))
-        focal = h / 2.0 / np.tan(np.deg2rad(self.fov_deg) / 2.0)
+        fov = float(req.get("fov", self.fov_deg))   # interactive fov slider
+        focal = h / 2.0 / np.tan(np.deg2rad(fov) / 2.0)
         cams = CamerasHost(
             camera_to_worlds=c2w,
             fx=np.array([focal], np.float32), fy=np.array([focal], np.float32),
@@ -587,7 +697,11 @@ class ViewerServer:
         if which == "depth" and "depth" in out:
             from gfnerf_tpu.utils.colormaps import apply_depth_colormap
 
-            img = apply_depth_colormap(out["depth"], out.get("accumulation"))
+            # optional fixed near/far range (the reference ConfigPanel's
+            # colormap min/max sliders) — None keeps per-frame autoscale
+            img = apply_depth_colormap(out["depth"], out.get("accumulation"),
+                                       near=req.get("cmap_near"),
+                                       far=req.get("cmap_far"))
         elif which == "accumulation" and "accumulation" in out:
             from gfnerf_tpu.utils.colormaps import apply_colormap
 

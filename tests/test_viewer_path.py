@@ -50,6 +50,88 @@ def test_interpolation_hits_keyframes_and_stays_rigid():
         np.testing.assert_allclose(rtr, np.eye(3), atol=1e-5)
 
 
+def test_smooth_interpolation_hits_keyframes_and_differs_from_lerp():
+    """Catmull-Rom smoothing (the reference editor's smoothness spline)
+    still passes through every keyframe but bends between them."""
+    kf = np.stack([_lookat_pose([4, 0, 1]), _lookat_pose([0, 4, 2]),
+                   _lookat_pose([-4, 0, 1]), _lookat_pose([0, -4, 2])])
+    from gfnerf_tpu.viewer.server import interpolate_scalars
+
+    n = 31  # 3 segments x 10 + 1 -> keyframes at 0, 10, 20, 30
+    smooth = interpolate_keyframes(kf, n, smooth=True)
+    linear = interpolate_keyframes(kf, n, smooth=False)
+    for f, k in ((0, 0), (10, 1), (20, 2), (30, 3)):
+        np.testing.assert_allclose(smooth[f], kf[k], atol=1e-5)
+    # midpoints bend off the chord
+    assert np.abs(smooth[5][:, 3] - linear[5][:, 3]).max() > 1e-3
+    for m in smooth:  # rotations stay rigid
+        np.testing.assert_allclose(m[:3, :3].T @ m[:3, :3], np.eye(3),
+                                   atol=1e-5)
+    # matching scalar interpolation passes through keyframe values too
+    fovs = interpolate_scalars([40.0, 60.0, 80.0, 50.0], n, smooth=True)
+    np.testing.assert_allclose(fovs[[0, 10, 20, 30]], [40, 60, 80, 50],
+                               atol=1e-4)
+
+
+def test_loop_path_wraps_back_to_start():
+    kf = np.stack([_lookat_pose([4, 0, 1]), _lookat_pose([0, 4, 2]),
+                   _lookat_pose([-4, 0, 1]), _lookat_pose([0, -4, 2])])
+    n = 40  # 4 segments x 10: keyframe k sits at frame 10k, no repeat
+    path = interpolate_keyframes(kf, n, loop=True)
+    for f, k in ((0, 0), (10, 1), (20, 2), (30, 3)):
+        np.testing.assert_allclose(path[f], kf[k], atol=1e-5)
+    # the tail approaches keyframe 0 again (closed cycle, tiling playback)
+    tail_gap = np.abs(path[39][:, 3] - kf[0][:3, 3]).max()
+    seg_step = np.abs(kf[1][:3, 3] - kf[0][:3, 3]).max() / 10
+    assert tail_gap < 2 * seg_step
+
+
+def test_camera_path_fov_smooth_loop_schema():
+    kf = np.stack([_lookat_pose([4, 0, 1]), _lookat_pose([0, 4, 2]),
+                   _lookat_pose([-4, 0, 1])])
+    doc = build_camera_path(kf, 320, 240, fov_deg=60.0, fps=10, seconds=3.0,
+                            fovs=[40.0, 70.0, 55.0], smooth=True, loop=True)
+    assert doc["is_cycle"] and doc["smoothness_value"] == 1.0
+    frame_fovs = [fr["fov"] for fr in doc["camera_path"]]
+    assert abs(frame_fovs[0] - 40.0) < 1e-4
+    assert min(frame_fovs) < 45.0 and max(frame_fovs) > 65.0
+    # without fovs every frame carries the default
+    doc2 = build_camera_path(kf, 320, 240, fov_deg=60.0, fps=10, seconds=2.0)
+    assert all(fr["fov"] == 60.0 for fr in doc2["camera_path"])
+    assert not doc2["is_cycle"] and doc2["smoothness_value"] == 0.0
+
+
+def test_render_honors_request_fov_and_depth_range():
+    """Per-request fov (the client's fov slider / per-keyframe fov) changes
+    the rendered rays' focal; cmap_near/cmap_far pin the depth colormap."""
+    from gfnerf_tpu.viewer.server import ViewerServer
+
+    seen = {}
+
+    class StubPipeline:
+        def render_camera(self, cams, idx, step, downscale=1, **kw):
+            seen["fx"] = float(cams.fx[0])
+            h, w = 4, 6
+            return {"rgb": np.zeros((h, w, 3), np.float32),
+                    "depth": np.full((h, w, 1), 5.0, np.float32),
+                    "accumulation": np.ones((h, w, 1), np.float32)}
+
+    server = ViewerServer(pipeline=StubPipeline(), port=0)
+    req = {"c2w": np.eye(4)[:3].tolist(), "width": 6, "height": 4}
+    server._render({**req, "fov": 90.0})
+    np.testing.assert_allclose(seen["fx"], 4 / 2 / np.tan(np.pi / 4),
+                               rtol=1e-6)
+    server._render(req)   # default fov 60
+    np.testing.assert_allclose(seen["fx"], 4 / 2 / np.tan(np.pi / 6),
+                               rtol=1e-6)
+    # fixed colormap range: depth 5.0 in [0, 10] maps mid-scale (not the
+    # autoscale degenerate all-one-color), and differs from autoscale
+    png_fixed = server._render({**req, "output": "depth",
+                                "cmap_near": 0.0, "cmap_far": 10.0})
+    png_auto = server._render({**req, "output": "depth"})
+    assert png_fixed != png_auto
+
+
 def test_export_roundtrips_through_render_script():
     import importlib.util
     from pathlib import Path
