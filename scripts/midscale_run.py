@@ -112,17 +112,25 @@ def main():
                     default=Path("/tmp/midscale_scene"))
     ap.add_argument("--init-steps", type=int, default=1500)
     ap.add_argument("--split-steps", type=int, default=500)
+    ap.add_argument("--n-cams", type=int, default=96)
+    ap.add_argument("--img-wh", default="200x150",
+                    help="scene image size WxH (rehearsals shrink this)")
     ap.add_argument("--fast", action="store_true",
                     help="tiny steps for a plumbing-only dry run")
     args = ap.parse_args()
-    if args.fast:
-        args.init_steps, args.split_steps = 200, 80
+    if args.fast:  # shrink only knobs the user left at their defaults
+        if args.init_steps == 1500:
+            args.init_steps = 200
+        if args.split_steps == 500:
+            args.split_steps = 80
 
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
     if not (args.scene_dir / "transforms.json").exists():
         print("building nerfstudio scene ...", flush=True)
-        n = build_nerfstudio_scene(args.scene_dir)
+        w, h = (int(v) for v in args.img_wh.split("x"))
+        n = build_nerfstudio_scene(args.scene_dir, n_cams=args.n_cams,
+                                   img_wh=(w, h))
         print(f"wrote {n} frames to {args.scene_dir}", flush=True)
 
     n_blocks = 4
