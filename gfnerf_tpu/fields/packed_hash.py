@@ -260,37 +260,63 @@ def packed_hash_encode_raw(
 def _interp_level(rows, fx, fy, fz, lx, ly, lz, e, n_channels):
     """Per-level lattice interpolation from gathered (P, row_width) rows.
 
-    e == 2 (pack=1, the live C=4 config): local == 0 everywhere and the 8
-    lattice entries ARE the 8 trilinear corners (lattice order
-    o = i*4 + j*2 + k), so the interpolation is a straight 7-lerp chain
-    over lane-contiguous slices.  The general path builds (P, e), (P, e^3)
-    and (P, e^3, C) intermediates whose narrow minor dims pad to 128 lanes
-    (16-64x memory expansion when materialized) and a per-point einsum far
-    too small for the MXU; the lerp chain touches only (P, C) lane slices
-    and fuses into the gather consumer.
+    Both branches keep the lane-slice discipline: every operand is either
+    a per-point (P,) scalar column or a lane-contiguous (P, C) slice of
+    the gathered rows, so XLA fuses the whole reduction into the gather
+    consumer — nothing narrow is ever materialized.  (The r3 layout rule:
+    a materialized (P, e)/(P, e^3) weight tensor or a (P, e^3, C) reshape
+    pads its minor dim to 128 lanes, 16-64x memory expansion, and the
+    per-point einsum those fed was far too small for the MXU.)
+
+    e == 2 (pack=1): local == 0 everywhere and the 8 lattice entries ARE
+    the 8 trilinear corners (lattice order o = i*4 + j*2 + k) — a straight
+    7-lerp chain.
+
+    e >= 3 (the live C=4 row_width=128 config is pack=2, e=3): the point's
+    cell sits at a per-point dynamic (lx, ly, lz) offset inside the
+    supercell lattice, so corner slices cannot be picked statically;
+    instead the trilinear sum is factorized per axis with per-point scalar
+    weights w_u = (u == l)(1-f) + (u == l+1)f — e^3 + e^2 + e fused
+    multiply-adds on (P, C) slices.
     """
+    C = n_channels
+
+    def crn(o):
+        return rows[:, o * C:(o + 1) * C].astype(jnp.float32)
+
     if e == 2:
-        C = n_channels
-
-        def crn(i, j, k):
-            o = ((i * 2 + j) * 2 + k) * C
-            return rows[:, o:o + C].astype(jnp.float32)
-
         fzc = fz[:, None]
-        z00 = crn(0, 0, 0) + fzc * (crn(0, 0, 1) - crn(0, 0, 0))
-        z01 = crn(0, 1, 0) + fzc * (crn(0, 1, 1) - crn(0, 1, 0))
-        z10 = crn(1, 0, 0) + fzc * (crn(1, 0, 1) - crn(1, 0, 0))
-        z11 = crn(1, 1, 0) + fzc * (crn(1, 1, 1) - crn(1, 1, 0))
+        z00 = crn(0) + fzc * (crn(1) - crn(0))
+        z01 = crn(2) + fzc * (crn(3) - crn(2))
+        z10 = crn(4) + fzc * (crn(5) - crn(4))
+        z11 = crn(6) + fzc * (crn(7) - crn(6))
         fyc = fy[:, None]
         y0 = z00 + fyc * (z01 - z00)
         y1 = z10 + fyc * (z11 - z10)
         return y0 + fx[:, None] * (y1 - y0)
-    lattice = e ** 3
-    wgt = _lattice_weights(_dim_w(lx, fx, e), _dim_w(ly, fy, e),
-                           _dim_w(lz, fz, e))
-    rows = rows[:, : lattice * n_channels].reshape(-1, lattice, n_channels)
-    return jnp.einsum("po,poc->pc", wgt.astype(jnp.bfloat16), rows,
-                      preferred_element_type=jnp.float32)
+
+    def dim_w(local, frac, u):
+        # (P, 1) weight of lattice position u along one axis
+        return (((u == local) * (1.0 - frac)
+                 + (u == local + 1) * frac))[:, None]
+
+    wx = [dim_w(lx, fx, i) for i in range(e)]
+    wy = [dim_w(ly, fy, j) for j in range(e)]
+    wz = [dim_w(lz, fz, k) for k in range(e)]
+    out = None
+    for i in range(e):
+        acc_y = None
+        for j in range(e):
+            base = (i * e + j) * e
+            acc_z = None
+            for k in range(e):
+                term = wz[k] * crn(base + k)
+                acc_z = term if acc_z is None else acc_z + term
+            term = wy[j] * acc_z
+            acc_y = term if acc_y is None else acc_y + term
+        term = wx[i] * acc_y
+        out = term if out is None else out + term
+    return out
 
 
 def packed_hash_encode_routed(
