@@ -710,9 +710,16 @@ def make_render_fn(
     sampler_cfg: SamplerConfig,
 ):
     """Jitted eval/render for a chunk of rays (eval noise == 1,
-    PersSampler_cuda.cu:381-383)."""
+    PersSampler_cuda.cu:381-383).
 
-    @jax.jit
+    ``stage_is_block`` is STATIC (a Python bool): the stage is always known
+    at render time, and tracing it used to compute BOTH the init and the
+    residual forward on every eval ray and ``where``-select — ~2x the
+    field+MLP cost of the stage actually rendered.  Static selection traces
+    only the live branch; the one extra compile at the init->focal
+    transition is trivia next to halving every eval dispatch."""
+
+    @functools.partial(jax.jit, static_argnums=(7,))
     def render_chunk(
         params: FieldParams,
         statics: FieldStatics,
@@ -721,7 +728,7 @@ def make_render_fn(
         rays_d: jnp.ndarray,
         rel_camera_index: jnp.ndarray,  # () or (R,) appearance index
         active_block: jnp.ndarray,
-        stage_is_block: jnp.ndarray,    # () bool — selects the residual path
+        stage_is_block: bool,           # STATIC — selects the residual path
     ):
         r = rays_o.shape[0]
         noise = jnp.ones((r, sampler_cfg.max_samples))
@@ -730,34 +737,24 @@ def make_render_fn(
         deferred = sampler_cfg.march == "fast"
         rel = jnp.broadcast_to(jnp.asarray(rel_camera_index, jnp.int32), (r,))
 
-        out_init = model_forward(params, statics, field_cfg, model_cfg,
-                                 samples, rays_d, rel, STAGE_INIT, 0,
-                                 oct_dev=oct_dev, warp_deferred=deferred,
-                                 rays_o=rays_o)
-        if field_cfg.n_blocks > 0:
+        if stage_is_block and field_cfg.n_blocks > 0:
             ab = jnp.asarray(active_block, jnp.int32)
             # (R,)-shaped active_block = per-ray block routing (packed
             # layout, dense path): one chunk may mix every cluster's rays
             routed = (ab if ab.ndim == 1
                       and field_cfg.hash_layout == "packed"
                       and not field_cfg.use_proposal else None)
-            out_block = model_forward(params, statics, field_cfg, model_cfg,
-                                      samples, rays_d, rel, STAGE_BLOCK,
-                                      0 if routed is not None else ab,
-                                      oct_dev=oct_dev,
-                                      warp_deferred=deferred,
-                                      rays_o=rays_o, routed_blocks=routed)
-            # branches can differ in auxiliary keys (e.g. the focal stage's
-            # density/density_shared when the empty-space penalty is
-            # configured — a train-only loss); merge the common set
-            common = sorted(set(out_init) & set(out_block))
-            out = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(stage_is_block, b, a),
-                {k: out_init[k] for k in common},
-                {k: out_block[k] for k in common},
-            )
+            out = model_forward(params, statics, field_cfg, model_cfg,
+                                samples, rays_d, rel, STAGE_BLOCK,
+                                0 if routed is not None else ab,
+                                oct_dev=oct_dev,
+                                warp_deferred=deferred,
+                                rays_o=rays_o, routed_blocks=routed)
         else:
-            out = out_init
+            out = model_forward(params, statics, field_cfg, model_cfg,
+                                samples, rays_d, rel, STAGE_INIT, 0,
+                                oct_dev=oct_dev, warp_deferred=deferred,
+                                rays_o=rays_o)
         return {k: out[k] for k in
                 ("rgb", "accumulation", "depth", "oct_depth")}
 

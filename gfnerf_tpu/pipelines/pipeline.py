@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -81,6 +82,13 @@ class GFNerfPipelineConfig:
     error-map-weighted (diagnostic ablation, QUALITY.md finding 4; error
     maps are still rendered for observability)."""
     eval_num_rays_per_chunk: int = 2048
+    eval_early_term: bool = False
+    """Full-image renders (render_camera: eval images, error maps, viewer)
+    use the two-phase transmittance early-termination path
+    (models/render_early.py): saturated rays skip their tail samples.
+    Results match the single pass to within eval_early_term_eps. Ignored
+    for proposal configs and non-black backgrounds (unsupported there)."""
+    eval_early_term_eps: float = 5e-3
     camera_bounds: tuple = (0.01, 512.0)   # gf_pipeline.py:117-120
     seed: int = 42
     parallel_blocks: bool = False
@@ -286,11 +294,40 @@ class GFNerfPipeline:
                                          STAGE_BLOCK),
         }
         self._render_chunk = make_render_fn(self.field_cfg, mcfg, scfg)
+        self._build_early_renderer()
         if getattr(self, "_parallel", False):
             from gfnerf_tpu.parallel.sharding import make_parallel_block_step
 
             self._pb_step = make_parallel_block_step(
                 self.field_cfg, mcfg, scfg, self._tx_block, self.mesh)
+
+    def _build_early_renderer(self):
+        mcfg = self.config.model
+        self._early_renderer = None
+        if (self.config.eval_early_term
+                and mcfg.num_proposal_resamples == 0
+                and mcfg.background_color == "black"):
+            from gfnerf_tpu.models.render_early import EarlyTermRenderer
+
+            self._early_renderer = EarlyTermRenderer(
+                self.field_cfg, mcfg, self._built_sampler_cfg,
+                eps=self.config.eval_early_term_eps)
+
+    def enable_early_term(self, eps: Optional[float] = None) -> bool:
+        """Turn on two-phase early-termination full-image rendering after
+        construction (scripts/render.py --early-term). Returns True when the
+        renderer is active; False (with a stderr note) for configs where it
+        is unsupported (proposal resampling, non-black background)."""
+        self.config.eval_early_term = True
+        if eps is not None:
+            self.config.eval_early_term_eps = eps
+        self._build_early_renderer()
+        if self._early_renderer is None:
+            print("[pipeline] early-term rendering unsupported for this "
+                  "config (proposal resampling or non-black background); "
+                  "keeping the single-pass renderer", file=sys.stderr)
+            return False
+        return True
 
     # --------------------------------------------------------------- train ----
 
@@ -611,7 +648,7 @@ class GFNerfPipeline:
                     ab = jnp.asarray(gkey[0], jnp.int32)
                 out = self._render_chunk(
                     self.state.params, self.statics, self.sampler.oct_dev,
-                    ro, rd, rel, ab, jnp.asarray(stage == STAGE_BLOCK))
+                    ro, rd, rel, ab, bool(stage == STAGE_BLOCK))
                 pred[ids] = np.asarray(out["rgb"])[: len(ids)]
         mse = float(np.mean((pred - batch["image"]) ** 2))
         return {"eval_rgb_mse": mse,
@@ -653,7 +690,7 @@ class GFNerfPipeline:
         o = np.asarray(rays["origins"]).reshape(-1, 3)
         d = np.asarray(rays["directions"]).reshape(-1, 3)
         n = o.shape[0]
-        outs = []
+        chunks, lens = [], []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             ro = jnp.asarray(o[start:end])
@@ -662,15 +699,24 @@ class GFNerfPipeline:
                 pad = chunk - (end - start)
                 ro = jnp.concatenate([ro, jnp.tile(ro[-1:], (pad, 1))])
                 rd = jnp.concatenate([rd, jnp.tile(rd[-1:], (pad, 1))])
-            out = self._render_chunk(
+            chunks.append((ro, rd))
+            lens.append(end - start)
+        rel = jnp.asarray(rel_camera_index, jnp.int32)
+        ab = jnp.asarray(max(split_idx, 0), jnp.int32)
+        is_block = bool(stage == STAGE_BLOCK)
+        if self._early_renderer is not None:
+            raw = self._early_renderer.render_chunks(
                 self.state.params, self.statics, self.sampler.oct_dev,
-                ro, rd,
-                jnp.asarray(rel_camera_index, jnp.int32),
-                jnp.asarray(max(split_idx, 0), jnp.int32),
-                jnp.asarray(stage == STAGE_BLOCK),
-            )
-            outs.append({k: np.asarray(v)[: end - start]
-                         for k, v in out.items()})
+                chunks, rel, ab, is_block)
+            outs = [{k: v[:m] for k, v in out.items()}
+                    for out, m in zip(raw, lens)]
+        else:
+            outs = []
+            for (ro, rd), m in zip(chunks, lens):
+                out = self._render_chunk(
+                    self.state.params, self.statics, self.sampler.oct_dev,
+                    ro, rd, rel, ab, is_block)
+                outs.append({k: np.asarray(v)[:m] for k, v in out.items()})
         result = {k: np.concatenate([o[k] for o in outs]).reshape(h, w, -1)
                   for k in outs[0]}
         return result

@@ -77,6 +77,13 @@ run_job bench_r5_focal 2000 results/bench_r5_focal.done \
 run_job render_r5_quality 3600 results/render_r5_quality.json \
   python scripts/render_bench.py --config quality \
   --out results/render_r5_quality.json
+
+# early-termination render (models/render_early.py): saturated rays skip
+# their tail samples; compare directly against render_r5_quality
+run_job render_r5_quality_et 3600 results/render_r5_quality_et.json \
+  python scripts/render_bench.py --config quality --early-term \
+  --out results/render_r5_quality_et.json
+
 run_job render_r5_prop 3600 results/render_r5_prop.json \
   python scripts/render_bench.py --config prop \
   --out results/render_r5_prop.json

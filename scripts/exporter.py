@@ -120,7 +120,7 @@ def main(argv=None):
                         pipeline.state.params, pipeline.statics,
                         pipeline.sampler.oct_dev, ro, rd,
                         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                        jnp.asarray(False))
+                        False)
                 else:
                     out = pipeline._render_jit(
                         pipeline.params, pipeline.model_state,

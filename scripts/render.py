@@ -127,12 +127,21 @@ def main(argv=None):
     parser.add_argument("--embedding-indices", type=int, nargs="*",
                         default=None)
     parser.add_argument("--dataparser", default=None)
+    parser.add_argument("--early-term", action="store_true",
+                        help="two-phase early-termination rendering "
+                             "(models/render_early.py): saturated rays skip "
+                             "their tail samples; exact to --et-eps")
+    parser.add_argument("--et-eps", type=float, default=None,
+                        help="termination transmittance threshold "
+                             "(default: pipeline config's 5e-3)")
     args = parser.parse_args(argv)
 
     from gfnerf_tpu.utils.eval_utils import eval_setup
 
     config, trainer = eval_setup(args.load_config, args.dataparser)
     pipeline = trainer.pipeline
+    if args.early_term and hasattr(pipeline, "enable_early_term"):
+        pipeline.enable_early_term(eps=args.et_eps)
     step = int(pipeline.state.step)
 
     if args.traj == "filename":

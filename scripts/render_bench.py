@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--frames", type=int, default=2,
                     help="timed frames (after one warmup/compile frame)")
+    ap.add_argument("--early-term", action="store_true",
+                    help="two-phase transmittance early termination "
+                         "(models/render_early.py): saturated rays skip "
+                         "their tail samples; not valid for --config prop")
+    ap.add_argument("--et-s1", type=int, default=0,
+                    help="head-segment samples (0 = max_samples // 4)")
+    ap.add_argument("--et-eps", type=float, default=5e-3,
+                    help="termination transmittance threshold")
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args()
 
@@ -83,9 +91,21 @@ def main():
 
     rel = jnp.asarray(0, jnp.int32)
     ab = jnp.asarray(0, jnp.int32)
-    is_block = jnp.asarray(False)
+    is_block = False
+
+    et = None
+    if args.early_term:
+        from gfnerf_tpu.models.render_early import EarlyTermRenderer
+
+        et = EarlyTermRenderer(fcfg, mcfg, scfg,
+                               s1=args.et_s1 or None, eps=args.et_eps)
 
     def frame():
+        if et is not None:
+            outs = et.render_chunks(params, statics, oct_dev,
+                                    list(zip(o_dev, d_dev)), rel, ab,
+                                    is_block)
+            return float(outs[-1]["rgb"].sum())
         outs = [render_fn(params, statics, oct_dev, o_dev[i], d_dev[i],
                           rel, ab, is_block)["rgb"]
                 for i in range(n_chunks)]
@@ -113,6 +133,10 @@ def main():
         "config": args.config,
         "vs_baseline": round(1.0 / dt, 4),  # north star: 1 frame/s
     }
+    if et is not None:
+        doc["early_term"] = {"s1": et.s1, "eps": et.eps,
+                             "survivor_frac": round(
+                                 et.last_survivor_frac or -1, 4)}
     print(json.dumps(doc))
     if args.out:
         args.out.write_text(json.dumps(doc, indent=2))

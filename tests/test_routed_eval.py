@@ -114,7 +114,7 @@ def test_render_chunk_accepts_per_ray_blocks():
     o = jnp.asarray(np.repeat(c2w[:2, :, 3], R // 2, axis=0), jnp.float32)
     d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
     rel = jnp.zeros((R,), jnp.int32)
-    stage_b = jnp.asarray(True)
+    stage_b = True
 
     out0 = render(params, statics, oct_dev, o, d, rel,
                   jnp.asarray(0, jnp.int32), stage_b)
