@@ -98,6 +98,12 @@ K: add keyframe &mdash; <span id="nkf">0 keyframes</span>
 <button onclick="clearKeyframes()">clear</button>
 <button onclick="previewPath()">preview</button>
 <button onclick="exportPath()">export camera_path.json</button>
+<input id="pathname" size="7" placeholder="name">
+<select id="loadsel"><option value="">saved paths</option></select>
+<button onclick="loadSaved()">load</button>
+<input type="file" id="pathfile" style="display:none" accept=".json"
+ onchange="loadFile(this.files[0])">
+<button onclick="document.getElementById('pathfile').click()">load file</button>
 <label><input type="checkbox" id="smoothchk">smooth</label>
 <label><input type="checkbox" id="loopchk">loop</label>
 <select id="ressel" onchange="setRes()"><option>640x480</option>
@@ -295,17 +301,95 @@ async function previewPath() {
 async function exportPath() {
   if (keyframes.length < 2) { alert('need >= 2 keyframes'); return; }
   const loop = document.getElementById('loopchk').checked;
+  const name = document.getElementById('pathname').value;
   const res = await fetch('/camera_path', {method:'POST', body: JSON.stringify(
     {keyframes: keyframes, width: c.width, height: c.height,
-     fovs: kfOrbit.map(o => o.fov),
+     fovs: kfOrbit.map(o => o.fov), orbit_states: kfOrbit, name: name,
      smooth: document.getElementById('smoothchk').checked, loop: loop,
      fps: 24, seconds: 2 * (keyframes.length - (loop ? 0 : 1))})});
   const blob = await res.blob();
   const a = document.createElement('a');
   a.href = URL.createObjectURL(blob);
-  a.download = 'camera_path.json';
+  a.download = (name || 'camera_path') + '.json';
   a.click();
+  refreshSavedPaths();
 }
+function orbitFromMatrix(m, kfFov) {
+  // m: row-major flattened 4x4 camera-to-world ([r u -f eye] columns).
+  // The orbit state has one free parameter a bare pose can't pin down
+  // (the look-at distance); reuse the current orbit radius for it.
+  const f = [-m[2], -m[6], -m[10]];
+  const eye = [m[3], m[7], m[11]];
+  return {az: Math.atan2(-f[1], -f[0]), el: Math.asin(Math.max(-1,
+            Math.min(1, -f[2]))), radius: radius,
+          target: [eye[0] + f[0]*radius, eye[1] + f[1]*radius,
+                   eye[2] + f[2]*radius],
+          fov: kfFov || fov};
+}
+function loadPathDoc(doc) {
+  // LoadPathModal equivalent: restore the keyframe editor from a saved
+  // camera_path.json. Priority: exact editor state (orbit_states, our
+  // export extension) > stored keyframes (reference schema) > subsampled
+  // camera_path frames (foreign files with no keyframe record).
+  keyframes.length = 0; kfOrbit.length = 0;
+  const kf4ToPose = m => [[m[0],m[1],m[2],m[3]], [m[4],m[5],m[6],m[7]],
+                          [m[8],m[9],m[10],m[11]]];
+  if (doc.orbit_states && doc.keyframes
+      && doc.orbit_states.length === doc.keyframes.length) {
+    doc.keyframes.forEach((kf, i) => {
+      keyframes.push(kf4ToPose(kf.matrix));
+      kfOrbit.push(doc.orbit_states[i]);
+    });
+  } else if (doc.keyframes && doc.keyframes.length) {
+    doc.keyframes.forEach(kf => {
+      keyframes.push(kf4ToPose(kf.matrix));
+      kfOrbit.push(orbitFromMatrix(kf.matrix, kf.fov));
+    });
+  } else if (doc.camera_path && doc.camera_path.length) {
+    const n = doc.camera_path.length;
+    const stride = Math.max(1, Math.round((doc.fps || 24) * 2));
+    for (let i = 0; i < n; i += stride) {
+      const fr = doc.camera_path[i];
+      keyframes.push(kf4ToPose(fr.camera_to_world));
+      kfOrbit.push(orbitFromMatrix(fr.camera_to_world, fr.fov));
+    }
+  } else { alert('no keyframes or camera_path in file'); return; }
+  if (doc.smoothness_value)
+    document.getElementById('smoothchk').checked = true;
+  if (doc.is_cycle) document.getElementById('loopchk').checked = true;
+  refreshKf();
+  if (kfOrbit.length) {
+    const o = kfOrbit[0]; az=o.az; el=o.el; radius=o.radius;
+    target=o.target.slice(); fov=o.fov;
+    document.getElementById('fovsel').value = fov; render(2);
+  }
+}
+async function refreshSavedPaths() {
+  try {
+    const res = await fetch('/camera_paths');
+    const doc = await res.json();
+    const sel = document.getElementById('loadsel');
+    sel.innerHTML = '<option value="">saved paths</option>';
+    doc.paths.forEach(p => {
+      const o = document.createElement('option');
+      o.value = p; o.textContent = p; sel.appendChild(o);
+    });
+  } catch (e) {}
+}
+async function loadSaved() {
+  const name = document.getElementById('loadsel').value;
+  if (!name) return;
+  const res = await fetch('/camera_paths?name=' + encodeURIComponent(name));
+  if (!res.ok) { alert('load failed'); return; }
+  loadPathDoc(await res.json());
+}
+function loadFile(file) {
+  if (!file) return;
+  const r = new FileReader();
+  r.onload = () => loadPathDoc(JSON.parse(r.result));
+  r.readAsText(file);
+}
+refreshSavedPaths();
 window.onkeydown = e => { if (e.key === 'k') addKeyframe(); };
 let sideLoaded = false;
 async function toggleSide() {
@@ -518,14 +602,16 @@ def interpolate_scalars(values, n_frames: int, smooth: bool = False,
 
 def build_camera_path(keyframes, width, height, fov_deg, fps=24,
                       seconds=None, fovs=None, smooth=False,
-                      loop=False) -> dict:
+                      loop=False, orbit_states=None) -> dict:
     """nerfstudio-format camera_path.json dict (the schema consumed by
     scripts/render.py --traj filename and the reference's render script,
     /root/reference/scripts/render.py:47-128).
 
     ``fovs``: optional per-keyframe fov list (the reference editor's
     per-keyframe fov override); ``smooth``/``loop`` select Catmull-Rom
-    position interpolation and a closed path."""
+    position interpolation and a closed path. ``orbit_states`` (opaque
+    per-keyframe editor state) rides along so the editor can reload its
+    exact keyframes later (the reference's LoadPathModal round-trip)."""
     keyframes = np.asarray(keyframes, np.float32).reshape(-1, 3, 4)
     k = len(keyframes)
     seconds = seconds if seconds else 2.0 * (k if loop else k - 1)
@@ -536,11 +622,15 @@ def build_camera_path(keyframes, width, height, fov_deg, fps=24,
         frame_fovs = interpolate_scalars(fovs, n_frames, smooth=smooth,
                                          loop=loop)
     else:
+        fovs = [float(fov_deg)] * k
         frame_fovs = np.full((n_frames,), float(fov_deg), np.float32)
     bottom = np.broadcast_to(np.array([0, 0, 0, 1], np.float32),
                              (n_frames, 1, 4))
     c2w4 = np.concatenate([path, bottom], axis=1)
-    return {
+    kf4 = np.concatenate(
+        [keyframes, np.broadcast_to(np.array([0, 0, 0, 1], np.float32),
+                                    (k, 1, 4))], axis=1)
+    doc = {
         "camera_type": "perspective",
         "render_height": int(height),
         "render_width": int(width),
@@ -548,12 +638,31 @@ def build_camera_path(keyframes, width, height, fov_deg, fps=24,
         "seconds": float(seconds),
         "smoothness_value": 1.0 if smooth else 0.0,
         "is_cycle": bool(loop),
+        # keyframes as the reference editor stores them (matrix + fov +
+        # aspect), so paths survive an editor round-trip
+        "keyframes": [
+            {"matrix": kf4[i].reshape(-1).tolist(),
+             "fov": float(fovs[i]),
+             "aspect": float(width) / float(height)}
+            for i in range(k)
+        ],
         "camera_path": [
             {"camera_to_world": c2w4[i].reshape(-1).tolist(),
              "fov": float(frame_fovs[i])}
             for i in range(n_frames)
         ],
     }
+    if orbit_states is not None:
+        doc["orbit_states"] = orbit_states
+    return doc
+
+
+def _safe_path_name(name) -> str:
+    """Sanitize a user-supplied saved-path name to a bare filename stem
+    (no separators/dots -> no path traversal from the HTTP surface)."""
+    if not name or not isinstance(name, str):
+        return ""
+    return "".join(ch for ch in name if ch.isalnum() or ch in "-_")[:64]
 
 
 class ViewerServer:
@@ -663,12 +772,39 @@ class ViewerServer:
             req["keyframes"], req.get("width", 640), req.get("height", 480),
             self.fov_deg, fps=req.get("fps", 24),
             seconds=req.get("seconds"), fovs=req.get("fovs"),
-            smooth=bool(req.get("smooth")), loop=bool(req.get("loop")))
+            smooth=bool(req.get("smooth")), loop=bool(req.get("loop")),
+            orbit_states=req.get("orbit_states"))
         payload = json.dumps(doc, indent=2).encode()
         if self.save_dir is not None:
             self.save_dir.mkdir(parents=True, exist_ok=True)
             (self.save_dir / "camera_path.json").write_bytes(payload)
+            name = _safe_path_name(req.get("name"))
+            if name:
+                d = self.save_dir / "camera_paths"
+                d.mkdir(parents=True, exist_ok=True)
+                (d / f"{name}.json").write_bytes(payload)
         return payload
+
+    def _camera_paths_list(self) -> bytes:
+        """Saved-path inventory (the reference LoadPathModal's dropdown)."""
+        names = []
+        if self.save_dir is not None:
+            d = self.save_dir / "camera_paths"
+            if d.is_dir():
+                names = sorted(p.stem for p in d.glob("*.json"))
+            if (self.save_dir / "camera_path.json").exists():
+                names.insert(0, "camera_path")
+        return json.dumps({"paths": names}).encode()
+
+    def _camera_path_get(self, name: str) -> bytes:
+        name = _safe_path_name(name)
+        if not name or self.save_dir is None:
+            raise FileNotFoundError(name)
+        for cand in (self.save_dir / "camera_paths" / f"{name}.json",
+                     self.save_dir / f"{name}.json"):
+            if cand.exists():
+                return cand.read_bytes()
+        raise FileNotFoundError(name)
 
     def _render(self, req: dict) -> bytes:
         import imageio.v2 as imageio
@@ -728,6 +864,21 @@ class ViewerServer:
                                 with_history="history" in self.path))
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path.startswith("/camera_paths"):
+                    try:
+                        if "?name=" in self.path:
+                            body = viewer._camera_path_get(
+                                self.path.split("?name=", 1)[1])
+                        else:
+                            body = viewer._camera_paths_list()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                    except FileNotFoundError:
+                        body = b"not found"
+                        self.send_response(404)
                     self.end_headers()
                     self.wfile.write(body)
                     return

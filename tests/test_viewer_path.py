@@ -305,3 +305,42 @@ def test_status_history_and_render_output_selector():
         pngs[out] = png
     # depth colormap differs from the flat rgb render
     assert pngs["depth"] != pngs["rgb"]
+
+
+def test_saved_path_roundtrip_and_name_sanitization(tmp_path):
+    """LoadPathModal equivalent: a named export lands in
+    save_dir/camera_paths/, shows up in the saved-path listing, fetches
+    back byte-identical, and carries the editor-restore fields (keyframes
+    matrices + orbit_states). Path names are sanitized to a bare stem."""
+    import json
+
+    from gfnerf_tpu.viewer.server import ViewerServer, _safe_path_name
+
+    assert _safe_path_name("../../etc/passwd") == "etcpasswd"
+    assert _safe_path_name("fly-through_2") == "fly-through_2"
+    assert _safe_path_name(None) == "" and _safe_path_name(7) == ""
+
+    server = ViewerServer(pipeline=None, port=0, save_dir=tmp_path)
+    kf = np.stack([_lookat_pose([4, 0, 1]), _lookat_pose([0, 4, 2])])
+    orbit = [{"az": 0.1, "el": 0.2, "radius": 4.0,
+              "target": [0, 0, 0], "fov": 50.0},
+             {"az": 1.1, "el": 0.3, "radius": 4.0,
+              "target": [0, 0, 0], "fov": 70.0}]
+    payload = server._camera_path(
+        {"keyframes": kf.tolist(), "width": 320, "height": 240,
+         "fovs": [50.0, 70.0], "orbit_states": orbit,
+         "name": "fly/../one"})
+    doc = json.loads(payload)
+    # editor-restore fields present and consistent
+    assert doc["orbit_states"] == orbit
+    assert len(doc["keyframes"]) == 2
+    m0 = np.asarray(doc["keyframes"][0]["matrix"]).reshape(4, 4)
+    np.testing.assert_allclose(m0[:3], kf[0], atol=1e-6)
+    assert doc["keyframes"][1]["fov"] == 70.0
+
+    listed = json.loads(server._camera_paths_list())
+    assert "flyone" in listed["paths"]          # sanitized stem
+    assert "camera_path" in listed["paths"]     # the default save
+    assert server._camera_path_get("fly/../one") == payload
+    with np.testing.assert_raises(Exception):
+        server._camera_path_get("missing")
