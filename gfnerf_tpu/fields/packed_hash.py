@@ -252,71 +252,85 @@ def packed_hash_encode_raw(
         else:
             h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
         rows = flat[h + l * n_rows]                  # (P, row_width) bf16
-        outs.append(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
+        outs.extend(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
                                   n_channels))
-    return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
+    # ONE (P, L*C) materialization for the whole encode (flat (P,) columns
+    # everywhere upstream — see _interp_level's layout note)
+    return (jnp.stack(outs, axis=-1) * valid).astype(jnp.float32)
 
 
 def _interp_level(rows, fx, fy, fz, lx, ly, lz, e, n_channels):
     """Per-level lattice interpolation from gathered (P, row_width) rows.
 
-    Both branches keep the lane-slice discipline: every operand is either
-    a per-point (P,) scalar column or a lane-contiguous (P, C) slice of
-    the gathered rows, so XLA fuses the whole reduction into the gather
-    consumer — nothing narrow is ever materialized.  (The r3 layout rule:
-    a materialized (P, e)/(P, e^3) weight tensor or a (P, e^3, C) reshape
-    pads its minor dim to 128 lanes, 16-64x memory expansion, and the
-    per-point einsum those fed was far too small for the MXU.)
+    Returns a LIST of ``n_channels`` flat (P,) float32 arrays (the caller
+    stacks all levels' channels once); every intermediate here is also a
+    flat (P,) array.
+
+    Chip-measured layout rule (r5, falsifying the r4/r5 "(P, C) lane
+    slice" design): on TPU any materialized 2-D temp with a narrow minor
+    dim pads to T(8, 128) tiles — a (P, 1) weight column is a 128x
+    expansion (12 MB -> 1.5 GB at P = 3.1 M) and a (P, 4) slice is 32x.
+    The lane-slice form relied on XLA fusing every such temp away; the
+    chip showed it does not (remat/fusion boundaries materialized them:
+    compile-time HBM OOM at 31 G for the S=384 encode, and the S=160
+    variant that did fit ran SLOWER per point than the (P, e^3) einsum it
+    replaced).  Flat (P,) arrays have no narrow minor dim — they tile
+    densely whether or not XLA fuses — so this form is padding-free by
+    construction, not by fusion luck.
 
     e == 2 (pack=1): local == 0 everywhere and the 8 lattice entries ARE
-    the 8 trilinear corners (lattice order o = i*4 + j*2 + k) — a straight
-    7-lerp chain.
+    the 8 trilinear corners (lattice order o = i*4 + j*2 + k) — a 7-lerp
+    chain per channel.
 
-    e >= 3 (the live C=4 row_width=128 config is pack=2, e=3): the point's
-    cell sits at a per-point dynamic (lx, ly, lz) offset inside the
-    supercell lattice, so corner slices cannot be picked statically;
-    instead the trilinear sum is factorized per axis with per-point scalar
+    e >= 3 (the live C=4 row_width=128 config is pack=2, e=3): the
+    point's cell sits at a per-point dynamic (lx, ly, lz) offset inside
+    the supercell lattice, so corner columns cannot be picked statically;
+    the trilinear sum is factorized per axis with per-point scalar
     weights w_u = (u == l)(1-f) + (u == l+1)f — e^3 + e^2 + e fused
-    multiply-adds on (P, C) slices.
+    multiply-adds per channel on (P,) columns.
     """
     C = n_channels
 
-    def crn(o):
-        return rows[:, o * C:(o + 1) * C].astype(jnp.float32)
+    def col(o, c):
+        # one lattice entry's channel as a flat (P,) f32 column
+        return rows[:, o * C + c].astype(jnp.float32)
 
     if e == 2:
-        fzc = fz[:, None]
-        z00 = crn(0) + fzc * (crn(1) - crn(0))
-        z01 = crn(2) + fzc * (crn(3) - crn(2))
-        z10 = crn(4) + fzc * (crn(5) - crn(4))
-        z11 = crn(6) + fzc * (crn(7) - crn(6))
-        fyc = fy[:, None]
-        y0 = z00 + fyc * (z01 - z00)
-        y1 = z10 + fyc * (z11 - z10)
-        return y0 + fx[:, None] * (y1 - y0)
+        chans = []
+        for c in range(C):
+            z00 = col(0, c) + fz * (col(1, c) - col(0, c))
+            z01 = col(2, c) + fz * (col(3, c) - col(2, c))
+            z10 = col(4, c) + fz * (col(5, c) - col(4, c))
+            z11 = col(6, c) + fz * (col(7, c) - col(6, c))
+            y0 = z00 + fy * (z01 - z00)
+            y1 = z10 + fy * (z11 - z10)
+            chans.append(y0 + fx * (y1 - y0))
+        return chans
 
     def dim_w(local, frac, u):
-        # (P, 1) weight of lattice position u along one axis
-        return (((u == local) * (1.0 - frac)
-                 + (u == local + 1) * frac))[:, None]
+        # (P,) weight of lattice position u along one axis
+        return (u == local) * (1.0 - frac) + (u == local + 1) * frac
 
     wx = [dim_w(lx, fx, i) for i in range(e)]
     wy = [dim_w(ly, fy, j) for j in range(e)]
     wz = [dim_w(lz, fz, k) for k in range(e)]
-    out = None
-    for i in range(e):
-        acc_y = None
-        for j in range(e):
-            base = (i * e + j) * e
-            acc_z = None
-            for k in range(e):
-                term = wz[k] * crn(base + k)
-                acc_z = term if acc_z is None else acc_z + term
-            term = wy[j] * acc_z
-            acc_y = term if acc_y is None else acc_y + term
-        term = wx[i] * acc_y
-        out = term if out is None else out + term
-    return out
+    chans = []
+    for c in range(C):
+        out = None
+        for i in range(e):
+            acc_y = None
+            for j in range(e):
+                base = (i * e + j) * e
+                acc_z = None
+                for k in range(e):
+                    term = wz[k] * col(base + k, c)
+                    acc_z = term if acc_z is None else acc_z + term
+                term = wy[j] * acc_z
+                acc_y = term if acc_y is None else acc_y + term
+            term = wx[i] * acc_y
+            out = term if out is None else out + term
+        chans.append(out)
+    return chans
 
 
 def packed_hash_encode_routed(
@@ -374,9 +388,9 @@ def packed_hash_encode_routed(
         else:
             h = _hash_flat(sx, sy, sz, ux, uy, uz, n_rows)
         rows = flat[row_base + l * n_rows + h]       # (P, row_width) bf16
-        outs.append(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
+        outs.extend(_interp_level(rows, fx, fy, fz, lx, ly, lz, e,
                                   n_channels))
-    return (jnp.concatenate(outs, axis=-1) * valid).astype(jnp.float32)
+    return (jnp.stack(outs, axis=-1) * valid).astype(jnp.float32)
 
 
 def chunked_prefix(x: jnp.ndarray, chunk: int = 256,
