@@ -47,60 +47,35 @@ run_job() {  # name timeout_s outfile cmd...
 wait_for_relay
 
 # --- tier 1: ~15-min measurements, highest info density ---------------
+# (2026-08-20 00:55 reorder: relay is UP with ~95 min of round left.
+#  midscale e2e — the never-completed VERDICT ask 3 — is promoted ahead of
+#  everything long; the capacity-bound focal arm runs after it and writes
+#  incrementally, so whatever lands by round end is kept.  prop profiles/
+#  renders demoted: prop promotion already decided NO at CPU scale.)
 
 # encode-wall measurement (7-lerp rewrite vs r3's 347 ms) — runbook item 2
 run_job profile_r5_quality 2400 results/profile_r5_quality.json \
   python scripts/profile_step.py --config quality \
   --out results/profile_r5_quality.json
 
-# perf config profile (K-dispatch flagship shape) — item 3
-run_job profile_r5_perf 2400 results/profile_r5_perf.json \
+# perf config profile post flat-(P,)-interp fix (K-dispatch flagship shape)
+run_job profile_r5_perf 1500 results/profile_r5_perf.json \
   python scripts/profile_step.py --config perf \
   --out results/profile_r5_perf.json
 
-# proposal-path profile — item 3b
-run_job profile_r5_prop 2400 results/profile_r5_prop.json \
-  python scripts/profile_step.py --config prop \
-  --out results/profile_r5_prop.json
-
-# proposal-path headline bench (the 6x-fewer-field-points multiplier):
-# captured unconditionally; flagship promotion waits on quality_prop_r5
-run_job bench_r5_prop 2000 results/bench_r5_prop.done \
-  bash -c "python bench.py --config prop && echo done > results/bench_r5_prop.done"
-
 # focal-stage bench at the quality config (100k of the reference's 130k
 # steps run in this stage — its rate matters as much as init's)
-run_job bench_r5_focal 2000 results/bench_r5_focal.done \
+run_job bench_r5_focal 1500 results/bench_r5_focal.done \
   bash -c "python bench.py --stage focal && echo done > results/bench_r5_focal.done"
-
-# render-FPS north star (<1 s / 1080p frame): quality + prop
-run_job render_r5_quality 3600 results/render_r5_quality.json \
-  python scripts/render_bench.py --config quality \
-  --out results/render_r5_quality.json
-
-# early-termination render (models/render_early.py): saturated rays skip
-# their tail samples; compare directly against render_r5_quality
-run_job render_r5_quality_et 3600 results/render_r5_quality_et.json \
-  python scripts/render_bench.py --config quality --early-term \
-  --out results/render_r5_quality_et.json
-
-run_job render_r5_prop 3600 results/render_r5_prop.json \
-  python scripts/render_bench.py --config prop \
-  --out results/render_r5_prop.json
-
-# --- tier 2: multi-hour arms, ordered by VERDICT ask priority ----------
-
-# proposal quality (ask 2: if >= dense-384 quality, prop becomes flagship)
-run_job quality_prop_r5 10800 results/quality_prop_r5.json \
-  python scripts/quality_run.py --config prop --scene-variant smooth \
-  --out results/quality_prop_r5.json
 
 # mid-scale e2e: train -> kill mid-focal -> resume -> eval (ask 3);
 # also reports the K=8 dispatch coverage fraction (ask 7)
 if [ ! -s results/midscale/summary.json ]; then
-  run_job midscale_r5 10800 results/midscale/summary.json \
+  run_job midscale_r5 7200 results/midscale/summary.json \
     python scripts/midscale_run.py
 fi
+
+# --- tier 2: long arms — incremental output, keep whatever lands -------
 
 # focal at capacity-bound scale (ask 4 — the paper's headline question):
 # 300 cams, 512x384, deep tree, capacity-starved global, fixes on; one
@@ -124,6 +99,16 @@ run_job q_r5_scale_finetune 21600 results/q_r5_scale_finetune.json \
   --rays-per-batch 8192 --init-steps 4000 --split-steps 1500 \
   --rows-log2 8 --block-lr 3e-4 --focal-mode finetune --trust-mult 10.0 \
   --diag --out results/q_r5_scale_finetune.json
+
+# --- tier 3: reached only if the long arms finish early ----------------
+
+# render-FPS north star (<1 s / 1080p frame) + early-termination variant
+run_job render_r5_quality 3600 results/render_r5_quality.json \
+  python scripts/render_bench.py --config quality \
+  --out results/render_r5_quality.json
+run_job render_r5_quality_et 3600 results/render_r5_quality_et.json \
+  python scripts/render_bench.py --config quality --early-term \
+  --out results/render_r5_quality_et.json
 
 # packed-vs-anchored on chip at full quality_run scale (ask 6; the
 # CPU-scale delta is covered by results/q_r5_{packed,anchored}_cpu.json)
